@@ -1,0 +1,127 @@
+"""Immutable CSR graph container.
+
+TPU-first equivalent of the reference's `scipy.sparse.csr_matrix` graphs
+(reference: dataloader.py:118-138 builds `G = A + A^T` CSR with int32 node
+ids; subg_acc.c:663-676 consumes raw `indptr`/`indices` int32 arrays).
+
+Host arrays are numpy; `.device()` places them in HBM as jnp arrays. Node ids
+are int32 throughout (the reference caps ids at int32: subg_acc.c:740-741).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class CSRGraph:
+    """Compressed sparse row adjacency.
+
+    indptr:  int32[N+1]
+    indices: int32[E]   (column ids; sorted within each row)
+    data:    optional float32[E] edge weights (None => unweighted)
+    """
+
+    indptr: np.ndarray
+    indices: np.ndarray
+    data: Optional[np.ndarray] = None
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.indptr) - 1
+
+    @property
+    def num_edges(self) -> int:
+        return len(self.indices)
+
+    def degrees(self) -> np.ndarray:
+        return np.diff(self.indptr)
+
+    def neighbors(self, u: int) -> np.ndarray:
+        return self.indices[self.indptr[u]:self.indptr[u + 1]]
+
+    def has_edge(self, u: int, v: int) -> bool:
+        row = self.neighbors(u)
+        i = np.searchsorted(row, v)
+        return bool(i < len(row) and row[i] == v)
+
+    def device(self):
+        """Return (indptr, indices) as device arrays (jnp int32, HBM)."""
+        import jax.numpy as jnp
+
+        return jnp.asarray(self.indptr), jnp.asarray(self.indices)
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        data = self.data if self.data is not None else np.ones(
+            self.num_edges, dtype=np.float32)
+        n = self.num_nodes
+        return sp.csr_matrix((data, self.indices, self.indptr), shape=(n, n))
+
+    @staticmethod
+    def from_scipy(mat) -> "CSRGraph":
+        mat = mat.tocsr()
+        mat.sort_indices()
+        return CSRGraph(
+            indptr=np.asarray(mat.indptr, dtype=np.int32),
+            indices=np.asarray(mat.indices, dtype=np.int32),
+            data=np.asarray(mat.data, dtype=np.float32),
+        )
+
+
+def csr_from_edges(
+    edges: np.ndarray,
+    num_nodes: Optional[int] = None,
+    weights: Optional[np.ndarray] = None,
+    symmetrize: bool = True,
+    coalesce: bool = True,
+    drop_self_loops: bool = True,
+) -> CSRGraph:
+    """Build a CSR graph from an edge list of shape [E, 2].
+
+    Mirrors the reference pipeline `csr_matrix(...) ; G = A + A^T` with
+    zero-diagonal assertion (dataloader.py:118-138): symmetrize sums weights
+    of (u,v) and (v,u); coalesce sums duplicate entries.
+    """
+    edges = np.asarray(edges, dtype=np.int64)
+    if edges.ndim != 2 or edges.shape[1] != 2:
+        raise ValueError(f"edges must be [E, 2], got {edges.shape}")
+    if num_nodes is None:
+        num_nodes = int(edges.max()) + 1 if len(edges) else 0
+    if weights is None:
+        weights = np.ones(len(edges), dtype=np.float32)
+    else:
+        weights = np.asarray(weights, dtype=np.float32)
+
+    src, dst, w = edges[:, 0], edges[:, 1], weights
+    if symmetrize:
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+        w = np.concatenate([w, w])
+    if drop_self_loops:
+        keep = src != dst
+        src, dst, w = src[keep], dst[keep], w[keep]
+
+    # sort by (src, dst) once; CSR rows come out column-sorted.
+    order = np.lexsort((dst, src))
+    src, dst, w = src[order], dst[order], w[order]
+
+    if coalesce and len(src):
+        key_new = np.empty(len(src), dtype=bool)
+        key_new[0] = True
+        key_new[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        seg = np.cumsum(key_new) - 1
+        w = np.bincount(seg, weights=w).astype(np.float32)
+        src, dst = src[key_new], dst[key_new]
+
+    indptr = np.zeros(num_nodes + 1, dtype=np.int64)
+    np.add.at(indptr, src + 1, 1)
+    indptr = np.cumsum(indptr)
+    return CSRGraph(
+        indptr=indptr.astype(np.int32),
+        indices=dst.astype(np.int32),
+        data=w,
+    )

@@ -1,0 +1,39 @@
+"""Higher-order pattern model (reference model_horder.py:42-66, `HONet`).
+
+Scores 3-node queries (u, v, w) from four joined segment groups
+(u|w, w|u, v|w, w|v) produced by `hgather_join`: pe-embed + pair-sum,
+mean-pool each group (torch_scatter.scatter_mean in the reference), then a
+4-way MergeLayer. The reference also constructs a LayerNorm (`concat_norm`,
+model_horder.py:53) that its forward never uses; we omit it.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from surel_plus_tpu.models.layers import MergeLayer, MLP2, masked_mean
+from surel_plus_tpu.ops.join import JoinedBatch
+
+
+class HONet(nn.Module):
+    input_dim: int
+    hidden_dim: int = 96
+    out_dim: int = 1
+    x_dim: int = 0
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, enc_table: jax.Array, joined: JoinedBatch,
+                 feature=None, *, train: bool = False) -> jax.Array:
+        """joined.eidx: [4, B, L, 2]; returns logits [B]."""
+        table = MLP2(self.hidden_dim, self.hidden_dim,
+                     name="pe_embedding")(enc_table)
+        pair = table[joined.eidx]          # [4, B, L, 2, h]
+        x = pair.sum(axis=-2)              # [4, B, L, h]
+        agg = masked_mean(x, joined.mask)  # [4, B, h]
+        score = MergeLayer(self.hidden_dim, self.out_dim, self.dropout,
+                           name="affinity_score")(
+            [agg[0], agg[1], agg[2], agg[3]], train=train)
+        return score.squeeze(-1)

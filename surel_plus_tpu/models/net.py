@@ -1,0 +1,80 @@
+"""Link-prediction set encoder (reference model.py:45-104, `Net`).
+
+Pipeline: structural encodings -> pe_embedding MLP -> pair-sum join ->
+masked set aggregation (mean / lstm / attn) -> optional raw-feature branch ->
+MergeLayer scorer.
+
+TPU rewrite of the hot path: the reference applies `pe_embedding` to every
+(set-element, pair-side) encoding row in the batch — O(sum |S| * 2) MLP
+evaluations (model.py:78). Because `pe_embedding(x).sum(dim=-2)` distributes
+over the pair, we embed the deduped encoding table once (U rows, typically
+100-1000x smaller after SUREL+'s compression) and reduce the join to two
+gathers and an add. Backward flows through the gathers as segment-sums —
+all XLA-native.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from surel_plus_tpu.models.layers import (
+    AttentionAggregation,
+    LSTMAggregation,
+    MergeLayer,
+    MLP2,
+    masked_mean,
+)
+from surel_plus_tpu.ops.join import JoinedBatch
+
+
+class Net(nn.Module):
+    input_dim: int          # encoding columns (CLI num_steps)
+    hidden_dim: int = 96
+    out_dim: int = 1
+    x_dim: int = 0
+    dropout: float = 0.1
+    use_feature: bool = False
+    aggrs: str = "mean"     # mean | lstm | attn
+
+    @nn.compact
+    def __call__(self, enc_table: jax.Array, joined: JoinedBatch,
+                 feature: Optional[jax.Array] = None, *,
+                 train: bool = False) -> jax.Array:
+        """enc_table: float [U+1, input_dim] normalized encodings, row 0 = 0.
+        joined: JoinedBatch with eidx [2, B, L, 2], mask [2, B, L].
+        feature: optional raw features [2, B, x_dim].
+        Returns logits [B]."""
+        # Embed unique encodings once; join == gather + add (model.py:78's
+        # pe_embedding(x).sum(dim=-2), algebraically rewritten).
+        table = MLP2(self.hidden_dim, self.hidden_dim,
+                     name="pe_embedding")(enc_table)       # [U+1, h]
+        pair = table[joined.eidx]                          # [2, B, L, 2, h]
+        x = pair.sum(axis=-2)                              # [2, B, L, h]
+
+        if self.aggrs == "attn":
+            agg = AttentionAggregation(self.hidden_dim, name="aggr")(
+                x, joined.mask)
+        elif self.aggrs == "lstm":
+            agg = LSTMAggregation(self.hidden_dim, name="aggr")(
+                x, joined.mask)
+        elif self.aggrs == "mean":
+            agg = masked_mean(x, joined.mask)
+        else:
+            raise ValueError(f"unknown aggregator {self.aggrs!r}")
+        xl, xr = agg[0], agg[1]                            # [B, h]
+
+        if self.use_feature:
+            if feature is None:
+                raise ValueError("use_feature=True requires features")
+            femb = MLP2(self.hidden_dim, self.hidden_dim,
+                        name="feature_embedding")(feature)  # [2, B, h]
+            xl = jnp.concatenate([xl, femb[0]], axis=-1)
+            xr = jnp.concatenate([xr, femb[1]], axis=-1)
+
+        score = MergeLayer(self.hidden_dim, self.out_dim, self.dropout,
+                           name="affinity_score")([xl, xr], train=train)
+        return score.squeeze(-1)

@@ -1,0 +1,126 @@
+"""SpJoin: online sparse set join, TPU-native.
+
+The reference realizes SpJoin as SciPy CSR row slicing + boolean-mask
+multiply-add over 4 Python threads (train.py:13-45, 75-111): for a query
+(u, v) it pairs, for every node x in S_u, the encoding index of x w.r.t. u
+with the index w.r.t. v (or the zero row if x is not in S_v), and
+symmetrically for S_v.
+
+TPU design: SpG rows are fixed-width, node-id-sorted tiles, so the join is a
+batched binary search (`searchsorted`) — one fused device op, no host
+threads, no CSR masked-add. Output is a padded [B, L] index pair block per
+side plus validity masks; downstream set aggregation consumes the mask
+instead of CSR indptr segments.
+
+A key algebraic rewrite the dense layout enables: the model applies
+`pe_embedding(x).sum(dim=-2)` over the (left, right) encoding pair
+(model.py:78). Since the sum distributes, embedding the *unique* encoding
+table once per step and gathering rows replaces per-batch-element MLP
+work with `embed[eidx_u] + embed[eidx_cross]` — see models/net.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from surel_plus_tpu.ops.walk import INT32_MAX
+
+
+class JoinedBatch(NamedTuple):
+    """Join output for a batch of B queries with Q endpoints each.
+
+    eidx:  int32 [Q, B, L, 2] — encoding-table indices; [..., 0] is the
+           anchor side (x's encoding w.r.t. the endpoint whose set x lies
+           in), [..., 1] the cross side (0 if absent, selecting the zero
+           encoding row — reproducing train.py:33-37's masked-add).
+    mask:  bool  [Q, B, L]    — validity of each set slot.
+    sizes: int32 [Q, B]       — true set sizes.
+    """
+
+    eidx: jax.Array
+    mask: jax.Array
+    sizes: jax.Array
+
+
+def _cross_lookup(nodes_a: jax.Array, nodes_b: jax.Array,
+                  eidx_b: jax.Array) -> jax.Array:
+    """For each slot of row a, the enc index of that node in row b (0 if
+    absent). Rows are ascending with INT32_MAX padding, so a batched binary
+    search suffices. Shapes: [B, L] each."""
+    pos = jax.vmap(jnp.searchsorted)(nodes_b, nodes_a)
+    L = nodes_b.shape[1]
+    pos = jnp.minimum(pos, L - 1)
+    hit = (jnp.take_along_axis(nodes_b, pos, axis=1) == nodes_a) \
+        & (nodes_a != INT32_MAX)
+    return jnp.where(hit, jnp.take_along_axis(eidx_b, pos, axis=1), 0)
+
+
+def gather_join(nodes: jax.Array, eidx: jax.Array, sizes: jax.Array,
+                edges: jax.Array) -> JoinedBatch:
+    """Join sampled sets for query edges.
+
+    Args:
+      nodes/eidx: SpG padded arrays, int32 [n, L].
+      sizes:      int32 [n].
+      edges:      int32 [Q, B] — Q endpoints per query (2 for links, 3 for
+                  higher-order); entries are SpG row indices.
+
+    For Q=2 the output mirrors `gather` (train.py:13-45): block 0 pairs
+    (Z_u[x], Z_v[x]) for x in S_u, block 1 pairs (Z_v[x], Z_u[x]) for
+    x in S_v.
+    """
+    rows_nodes = nodes[edges]   # [Q, B, L]
+    rows_eidx = eidx[edges]
+    rows_sizes = sizes[edges]   # [Q, B]
+
+    if edges.shape[0] != 2:
+        raise ValueError("gather_join handles Q=2; use hgather_join for "
+                         "higher-order queries")
+
+    nu, nv = rows_nodes[0], rows_nodes[1]
+    eu, ev = rows_eidx[0], rows_eidx[1]
+    cross_u = _cross_lookup(nu, nv, ev)   # v-encodings of S_u nodes
+    cross_v = _cross_lookup(nv, nu, eu)   # u-encodings of S_v nodes
+
+    eidx_out = jnp.stack([
+        jnp.stack([eu, cross_u], axis=-1),
+        jnp.stack([ev, cross_v], axis=-1),
+    ])
+    mask = rows_nodes != INT32_MAX
+    return JoinedBatch(eidx=eidx_out, mask=mask, sizes=rows_sizes)
+
+
+def hgather_join(nodes: jax.Array, eidx: jax.Array, sizes: jax.Array,
+                 hedges: jax.Array) -> JoinedBatch:
+    """Higher-order join for 3-node queries (u, v, w), reproducing `hgather`
+    (train.py:48-72): four segment groups — (u | w), (w | u), (v | w),
+    (w | v) — each pairing a set's own encodings with the cross encodings
+    of the partner endpoint."""
+    if hedges.shape[0] != 3:
+        raise ValueError("hgather_join expects [3, B] hyperedges")
+    rows_nodes = nodes[hedges]   # [3, B, L]
+    rows_eidx = eidx[hedges]
+    rows_sizes = sizes[hedges]
+
+    nu, nv, nw = rows_nodes
+    eu, ev, ew = rows_eidx
+
+    pairs = [
+        (nu, eu, nw, ew),   # u anchored, cross w   (train.py:61,64)
+        (nw, ew, nu, eu),   # w anchored, cross u   (train.py:61,66)
+        (nv, ev, nw, ew),   # v anchored, cross w   (train.py:62,65)
+        (nw, ew, nv, ev),   # w anchored, cross v   (train.py:62,67)
+    ]
+    blocks = []
+    masks = []
+    for na, ea, nb, eb in pairs:
+        cross = _cross_lookup(na, nb, eb)
+        blocks.append(jnp.stack([ea, cross], axis=-1))
+        masks.append(na != INT32_MAX)
+    sizes_out = jnp.stack(
+        [rows_sizes[0], rows_sizes[2], rows_sizes[1], rows_sizes[2]])
+    return JoinedBatch(eidx=jnp.stack(blocks), mask=jnp.stack(masks),
+                       sizes=sizes_out)

@@ -1,0 +1,242 @@
+"""TPU-native walk-based node-set sampling with landing-probability encoding.
+
+Re-implements the semantics of the reference C/OpenMP kernel
+`subg_acc.gset_sampler` (subg_acc/subg_acc.c:649-1034) with a design that
+maps onto XLA/TPU instead of hashtables and per-seed scalar loops:
+
+  * step-0 "without replacement" (Fisher-Yates partial shuffle in C,
+    subg_acc.c:763-776,793-800)  ->  one global per-row shuffle of the CSR
+    `indices` array via a single lexicographic device sort; walk m takes the
+    m-th shuffled neighbor (`m % deg` reproduces the C round-robin when
+    deg <= num_walks, subg_acc.c:795).
+  * later steps uniform-with-replacement (`rand_r % deg`, subg_acc.c:804-808)
+    ->  vectorized gathers under `lax.scan`, counter-based PRNG
+    (`jax.random.fold_in`) so results are independent of thread count —
+    unlike the reference, whose output depends on OMP thread id
+    (subg_acc.c:731-732).
+  * per-seed hashtable dedup + landing counts (subg_acc.c:779-845)  ->
+    per-seed sort of the visit list + segment-sum into a padded
+    [block, bucket, num_steps+1] tile.
+  * walks stuck at degree-0 nodes stay in place, reproducing the C
+    "no neighbors -> stay" rule (subg_acc.c:804-808) and the degree-0 root
+    convention (count = num_walks at every step, subg_acc.c:753-761).
+
+All shapes are static; seeds are processed in fixed-size blocks (the C
+NMAX=65536 blocking, subg_acc.c:736) so the kernel jit-compiles once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INT32_MAX = np.iinfo(np.int32).max
+
+
+def shuffle_csr_rows(indptr: jax.Array, indices: jax.Array,
+                     key: jax.Array) -> jax.Array:
+    """Randomly permute CSR `indices` within each row.
+
+    One global lexicographic sort by (row_id, random_key) — the TPU-native
+    replacement for per-seed Fisher-Yates partial shuffles: afterwards,
+    `out[indptr[u] + j]` is the j-th element of a uniform random permutation
+    of u's neighborhood.
+    """
+    num_edges = indices.shape[0]
+    edge_pos = jnp.arange(num_edges, dtype=indptr.dtype)
+    row_ids = jnp.searchsorted(indptr, edge_pos, side="right").astype(
+        jnp.int32) - 1
+    rand = jax.random.bits(key, (num_edges,), dtype=jnp.uint32)
+    _, _, shuffled = jax.lax.sort((row_ids, rand, indices), num_keys=2)
+    return shuffled
+
+
+def _walk_block(indptr: jax.Array, indices: jax.Array,
+                shuffled_indices: jax.Array, seeds: jax.Array,
+                num_walks: int, num_steps: int, key: jax.Array) -> jax.Array:
+    """Run `num_walks` walks of `num_steps` steps from each seed.
+
+    Returns int32 [block, num_walks, num_steps] node ids (the node visited at
+    each step; step 0 = first hop).
+    """
+    block = seeds.shape[0]
+    start = indptr[seeds]
+    deg = indptr[seeds + 1] - start
+
+    # Step 0: without replacement via the per-row shuffle. `m % deg` gives
+    # round-robin coverage when deg <= num_walks and the first num_walks
+    # entries of a random permutation otherwise — exactly the C semantics
+    # (subg_acc.c:793-800) up to permutation randomness.
+    m = jnp.arange(num_walks, dtype=jnp.int32)
+    offs = m[None, :] % jnp.maximum(deg[:, None], 1)
+    w0 = shuffled_indices[start[:, None] + offs]
+    w0 = jnp.where(deg[:, None] > 0, w0, seeds[:, None])
+
+    if num_steps == 1:
+        return w0[:, :, None]
+
+    def step(cur, step_key):
+        d = indptr[cur + 1] - indptr[cur]
+        r = jax.random.bits(step_key, cur.shape, dtype=jnp.uint32)
+        pick = (r % jnp.maximum(d, 1).astype(jnp.uint32)).astype(jnp.int32)
+        nxt = indices[indptr[cur] + pick]
+        nxt = jnp.where(d > 0, nxt, cur)
+        return nxt, nxt
+
+    step_keys = jax.random.split(key, num_steps - 1)
+    _, rest = jax.lax.scan(step, w0, step_keys)
+    # rest: [num_steps-1, block, num_walks] -> [block, num_walks, num_steps-1]
+    walks = jnp.concatenate([w0[:, :, None],
+                             jnp.moveaxis(rest, 0, -1)], axis=-1)
+    return walks
+
+
+def _build_sets_block(seeds: jax.Array, walks: jax.Array, num_walks: int,
+                      num_steps: int, bucket: int
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Dedup walk visits per seed and accumulate landing counts per step.
+
+    Returns:
+      nodes:  int32 [block, bucket] unique visited nodes per seed, ascending,
+              padded with INT32_MAX.
+      counts: int32 [block, bucket, num_steps+1] landing counts; column 0 is
+              num_walks for the root row and 0 elsewhere (subg_acc.c:751).
+      sizes:  int32 [block] set sizes (always >= 1: the root).
+    """
+    block = seeds.shape[0]
+    ncol = num_steps + 1
+    visits = 1 + num_walks * num_steps
+
+    # visit list: the root (column 0, weight num_walks) then every walk step
+    # (column step+1, weight 1) — matching buffer[idx, step+1]++ at
+    # subg_acc.c:830 and the root row at :751.
+    nodes = jnp.concatenate(
+        [seeds[:, None], walks.reshape(block, num_walks * num_steps)], axis=1)
+    cols = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.broadcast_to(jnp.arange(1, ncol, dtype=jnp.int32)[None, :],
+                         (num_walks, num_steps)).reshape(-1),
+    ])
+    weights = jnp.concatenate([
+        jnp.full((1,), num_walks, jnp.int32),
+        jnp.ones((num_walks * num_steps,), jnp.int32),
+    ])
+    cols_b = jnp.broadcast_to(cols[None, :], (block, visits))
+    weights_b = jnp.broadcast_to(weights[None, :], (block, visits))
+
+    snodes, scols, sweights = jax.lax.sort(
+        (nodes, cols_b, weights_b), dimension=1, num_keys=1)
+
+    first = jnp.concatenate([
+        jnp.ones((block, 1), dtype=bool),
+        snodes[:, 1:] != snodes[:, :-1],
+    ], axis=1)
+    compact = jnp.cumsum(first, axis=1).astype(jnp.int32) - 1
+    sizes = jnp.minimum(compact[:, -1] + 1, bucket)
+
+    # Landing counts: segment-sum keyed by compact_idx * ncol + col; overflow
+    # rows (compact >= bucket) route to a discard segment. The C kernel also
+    # drops overflow visits, keeping the first-discovered `bucket` nodes
+    # (subg_acc.c:826-836); we keep the `bucket` smallest node ids instead
+    # (sorted layout) — identical when bucket >= unique count, which holds for
+    # the default bucket = num_walks*num_steps+1.
+    seg = jnp.where(compact < bucket, compact * ncol + scols, bucket * ncol)
+
+    def row_counts(seg_row, w_row):
+        return jax.ops.segment_sum(w_row, seg_row,
+                                   num_segments=bucket * ncol + 1)
+
+    counts = jax.vmap(row_counts)(seg, sweights)[:, :-1]
+    counts = counts.reshape(block, bucket, ncol)
+
+    # Unique node ids per compact slot (min == max within a slot).
+    def row_nodes(node_row, seg_row):
+        return jax.ops.segment_min(node_row, seg_row,
+                                   num_segments=bucket + 1)
+
+    slot = jnp.where(compact < bucket, compact, bucket)
+    nodes_out = jax.vmap(row_nodes)(snodes, slot)[:, :-1]
+    nodes_out = jnp.where(
+        jnp.arange(bucket)[None, :] < sizes[:, None], nodes_out, INT32_MAX)
+    return nodes_out, counts, sizes
+
+
+def _pack_block(counts: jax.Array, nodes: jax.Array, seeds: jax.Array,
+                num_walks: int, num_steps: int
+                ) -> Tuple[jax.Array, jax.Array]:
+    """Bit-pack each landing-count row into a (hi, lo) uint32 pair.
+
+    Field layout mirrors the C bit-hash (subg_acc.c:900-955): columns
+    1..num_steps packed most-significant-first with SHIFT = bit_length(M)
+    bits each, and a LEAD bit above them marking root rows so roots stay
+    unique under global dedup. Column 0 is excluded from the key — it is
+    num_walks for roots and 0 otherwise, so (LEAD, cols 1..S) determines it.
+    """
+    shift = int(num_walks).bit_length()  # == 32 - clz(num_walks)
+    total_bits = num_steps * shift + 1
+    if total_bits > 64:
+        raise ValueError(
+            f"encoding key needs {total_bits} bits > 64 "
+            f"(num_walks={num_walks}, num_steps={num_steps})")
+
+    lo = jnp.zeros(counts.shape[:2], jnp.uint32)
+    hi = jnp.zeros(counts.shape[:2], jnp.uint32)
+
+    def or_field(lo, hi, value_u32, start_bit):
+        if start_bit < 32:
+            lo = lo | (value_u32 << start_bit)
+            spill = 32 - start_bit
+            if start_bit + shift > 32:
+                hi = hi | (value_u32 >> spill)
+        else:
+            hi = hi | (value_u32 << (start_bit - 32))
+        return lo, hi
+
+    for j in range(1, num_steps + 1):
+        start_bit = (num_steps - j) * shift
+        lo, hi = or_field(lo, hi, counts[:, :, j].astype(jnp.uint32),
+                          start_bit)
+    is_root = (nodes == seeds[:, None]).astype(jnp.uint32)
+    lead_bit = num_steps * shift
+    if lead_bit < 32:
+        lo = lo | (is_root << lead_bit)
+    else:
+        hi = hi | (is_root << (lead_bit - 32))
+    return hi, lo
+
+
+def unpack_encodings(packed: np.ndarray, num_walks: int,
+                     num_steps: int) -> np.ndarray:
+    """Invert the bit-pack: uint64 keys -> int32 [n, num_steps+1] counts."""
+    shift = int(num_walks).bit_length()
+    mask = np.uint64((1 << shift) - 1)
+    ncol = num_steps + 1
+    out = np.zeros((len(packed), ncol), dtype=np.int32)
+    root = (packed >> np.uint64(num_steps * shift)) & np.uint64(1)
+    out[:, 0] = root.astype(np.int32) * num_walks
+    for j in range(1, ncol):
+        out[:, j] = ((packed >> np.uint64((num_steps - j) * shift))
+                     & mask).astype(np.int32)
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_walks", "num_steps", "bucket"))
+def sample_block(indptr: jax.Array, indices: jax.Array,
+                 shuffled_indices: jax.Array, seeds: jax.Array,
+                 key: jax.Array, *, num_walks: int, num_steps: int,
+                 bucket: int):
+    """Jitted per-block pipeline: walks -> sets -> counts -> packed keys.
+
+    Returns (nodes [B, bucket], sizes [B], hi [B, bucket], lo [B, bucket]).
+    """
+    walks = _walk_block(indptr, indices, shuffled_indices, seeds,
+                        num_walks, num_steps, key)
+    nodes, counts, sizes = _build_sets_block(
+        seeds, walks, num_walks, num_steps, bucket)
+    hi, lo = _pack_block(counts, nodes, seeds, num_walks, num_steps)
+    return nodes, sizes, hi, lo
