@@ -1,0 +1,179 @@
+"""Experiment driver for link / relation prediction.
+
+Equivalent of the reference CLI (main.py:25-258): dataset load + masking,
+offline sampling (LP walks or PPR/SPD/DEG metric path), model construction,
+run/epoch loops with eval cadence, early-stop checkpointing, and aggregate
+statistics. Differences: typed config instead of argparse-only, OGB loading
+gated with a synthetic fallback, and all device work on TPU via JAX.
+
+Usage:
+  python -m surel_plus_tpu.cli.main --dataset synth-collab --epochs 20 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import sys
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from surel_plus_tpu.graph.datasets import (
+    LinkPropDataset, RawLinkData, from_ogb, synthetic_link_data)
+from surel_plus_tpu.graph.splits import get_pos_neg_edges
+from surel_plus_tpu.models import Net
+from surel_plus_tpu.ops.encoders import encoding, scalar_spg_from_csr
+from surel_plus_tpu.ops.ppr import topk_ppr_matrix
+from surel_plus_tpu.ops.sampler import subg_matrix
+from surel_plus_tpu.train import LinkPredictor, TrainConfig, evaluate
+from surel_plus_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from surel_plus_tpu.utils.config import (
+    ExperimentConfig, add_config_args, apply_dataset_overrides,
+    config_from_args)
+from surel_plus_tpu.utils.logger import ResultLogger, set_up_log
+from surel_plus_tpu.utils.seeding import set_random_seed
+
+log = logging.getLogger(__name__)
+
+
+def load_raw(cfg: ExperimentConfig) -> RawLinkData:
+    if cfg.dataset.startswith("ogbl-") or cfg.dataset == "mag":
+        return from_ogb(cfg.dataset)
+    if "synth" in cfg.dataset:
+        return synthetic_link_data(
+            num_nodes=cfg.synth_nodes, num_edges=cfg.synth_edges,
+            seed=cfg.seed, num_feature=16 if cfg.use_raw else 0,
+            mrr_style=("MRR" in cfg.metric))
+    raise NotImplementedError(cfg.dataset)
+
+
+def _scalar_pipeline(cfg, G, logger):
+    """PPR/SPD/DEG metric path (main.py:181-196)."""
+    idx = np.arange(G.num_nodes)
+    x = topk_ppr_matrix(G, cfg.alpha, cfg.eps, idx, cfg.topk,
+                        normalization="sym")
+    x, _ = encoding(x.tocsr(), G.to_scipy(), cfg.sencoder)
+    return scalar_spg_from_csr(x.tocsr())
+
+
+def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
+    """Returns {'best': [(valid, test) per run], 'results': ResultLogger}."""
+    rng = set_random_seed(cfg.seed)
+    if logger is None:
+        logger = set_up_log(cfg.log_dir, cfg.dataset,
+                            args_repr=str(dataclasses.asdict(cfg)))
+
+    raw = load_raw(cfg)
+    ds = LinkPropDataset(
+        raw, mask_ratio=cfg.train_ratio, k=cfg.k,
+        use_weight=cfg.use_weight, use_coalesce=cfg.use_weight,
+        use_feature=cfg.use_raw, use_val=cfg.use_val, rng=rng,
+        vessel_mode=("vessel" in cfg.dataset))
+    graphs = ds.process(logger)
+
+    train_edge = (ds.pos_edge.T.astype(np.int32),
+                  ds.neg_edge.T.astype(np.int32))
+    val_edge = get_pos_neg_edges("valid", raw.split_edge, raw.edge_index,
+                                 ds.num_nodes, percent=cfg.valid_perc,
+                                 rng=rng)
+    test_edge = get_pos_neg_edges("test", raw.split_edge, raw.edge_index,
+                                  ds.num_nodes, rng=rng)
+    inf_edge = {"valid": val_edge, "test": test_edge}
+
+    G_obsrv, G_inf = graphs["train"], graphs["test"]
+
+    prep_start = time.time()
+    if cfg.sencoder == "LP":
+        x_spg = subg_matrix(G_obsrv, np.arange(G_obsrv.num_nodes,
+                                               dtype=np.int32),
+                            num_walks=cfg.num_walks,
+                            num_steps=cfg.num_steps, seed=cfg.seed)
+        z_spg = subg_matrix(G_inf, np.arange(G_inf.num_nodes,
+                                             dtype=np.int32),
+                            num_walks=cfg.num_walks,
+                            num_steps=cfg.num_steps, seed=cfg.seed)
+        input_dim = cfg.num_steps
+        join_scalar = False
+    else:
+        x_spg = _scalar_pipeline(cfg, G_obsrv, logger)
+        z_spg = _scalar_pipeline(cfg, G_inf, logger)
+        input_dim = 1
+        join_scalar = True
+    logger.info("Prep. Runtime (%s): %.2fs", cfg.sencoder,
+                time.time() - prep_start)
+
+    feature = ds.x if cfg.use_raw else None
+    model = Net(input_dim=input_dim, hidden_dim=cfg.hidden_channels,
+                out_dim=1, x_dim=ds.num_feature, dropout=cfg.dropout,
+                use_feature=cfg.use_raw, aggrs=cfg.aggrs)
+
+    tcfg = TrainConfig(batch_size=cfg.batch_size, lr=cfg.lr,
+                       epochs=cfg.epochs, eval_steps=cfg.eval_steps,
+                       early_stop=cfg.early_stop, seed=cfg.seed)
+    if join_scalar:
+        from surel_plus_tpu.train.scalar import ScalarLinkPredictor
+        trainer = ScalarLinkPredictor(model, x_spg, tcfg, feature=feature)
+        scorer = ScalarLinkPredictor(model, z_spg, tcfg, feature=feature)
+    else:
+        trainer = LinkPredictor(model, x_spg, tcfg, feature=feature)
+        scorer = LinkPredictor(model, z_spg, tcfg, feature=feature)
+
+    edges = np.concatenate(train_edge, axis=1)
+    labels = np.concatenate([
+        np.ones(train_edge[0].shape[1], np.float32),
+        np.zeros(train_edge[1].shape[1], np.float32)])
+
+    rlog = ResultLogger(runs=cfg.runs, metric=cfg.metric,
+                        early_stop=cfg.early_stop)
+    stamp = time.strftime("%m%d%y_%H%M%S")
+
+    if cfg.inf_only and cfg.load_model:
+        params = load_checkpoint(cfg.load_model)["params"]
+        results, d_inf = evaluate(scorer, params, inf_edge, cfg.metric)
+        logger.info("inference-only results: %s (T_test %.2fs)",
+                    results, d_inf)
+        return {"results": results}
+
+    for run in range(cfg.runs):
+        params, opt_state = trainer.init(
+            jax.random.PRNGKey(cfg.seed + run),
+            edges[:, :cfg.batch_size])
+        key = jax.random.PRNGKey(cfg.seed + 1000 + run)
+        for epoch in range(cfg.epochs):
+            params, opt_state, loss, auc = trainer.train_epoch(
+                params, opt_state, edges, labels, rng, key)
+            logger.info("Run: %02d, Epoch: %02d, Loss: %.4f, AUC: %.4f",
+                        run + 1, epoch, loss, auc)
+            if epoch % cfg.eval_steps == 0:
+                results, d_inf = evaluate(scorer, params, inf_edge,
+                                          cfg.metric)
+                logger.info("eval: %s (T_test %.2f)", results, d_inf)
+                if rlog.add_result(run, results):
+                    save_checkpoint(
+                        {"params": params, "epoch": np.asarray(epoch)},
+                        f"{cfg.log_dir}/{cfg.dataset}/model/"
+                        f"{stamp}_{run}")
+                    break
+        rlog.print_statistics(run=run, logger=logger)
+    if cfg.runs > 1:
+        rlog.print_statistics(logger=logger)
+    return {"results": rlog,
+            "best": [rlog.best(r) for r in range(cfg.runs)]}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="SUREL+ TPU: link/relation prediction")
+    add_config_args(parser)
+    args = parser.parse_args(argv)
+    cfg = apply_dataset_overrides(config_from_args(args))
+    out = run_experiment(cfg)
+    print(out.get("best"))
+
+
+if __name__ == "__main__":
+    main()

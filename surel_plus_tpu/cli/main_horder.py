@@ -1,0 +1,116 @@
+"""Higher-order pattern prediction driver (reference main_horder.py:24-141):
+3-node hyperedge (triplet) queries over a single encoder graph, HONet model,
+MRR evaluation against k random-node negatives.
+
+Usage:
+  python -m surel_plus_tpu.cli.main_horder --dataset synth-hyper ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import time
+
+import jax
+import numpy as np
+
+from surel_plus_tpu.graph.datasets import (
+    DEHyperDataset, synthetic_hyper_data)
+from surel_plus_tpu.graph.splits import get_pos_neg_edges
+from surel_plus_tpu.models import HONet
+from surel_plus_tpu.ops.join import hgather_join
+from surel_plus_tpu.ops.sampler import subg_matrix
+from surel_plus_tpu.train import LinkPredictor, TrainConfig, evaluate
+from surel_plus_tpu.utils.config import (
+    ExperimentConfig, add_config_args, config_from_args)
+from surel_plus_tpu.utils.logger import ResultLogger, set_up_log
+from surel_plus_tpu.utils.seeding import set_random_seed
+
+log = logging.getLogger(__name__)
+
+
+def load_hyper(cfg: ExperimentConfig) -> DEHyperDataset:
+    if "synth" in cfg.dataset:
+        return synthetic_hyper_data(num_nodes=cfg.synth_nodes,
+                                    num_triplets=cfg.synth_edges,
+                                    seed=cfg.seed)
+    # tags-math / DBLP-coauthor pickles (dataloader.py:243): torch-format
+    import torch
+
+    data = torch.load(f"./dataset/sgrl/{cfg.dataset}.pl")
+    return DEHyperDataset(np.asarray(data["edge_index"]),
+                          {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+                           for k, v in data["triplets"].items()},
+                          k=cfg.k)
+
+
+def run_experiment(cfg: ExperimentConfig, logger=None):
+    rng = set_random_seed(cfg.seed)
+    if logger is None:
+        logger = set_up_log(cfg.log_dir, cfg.dataset,
+                            args_repr=str(dataclasses.asdict(cfg)))
+    cfg.metric = "MRR"  # always MRR (main_horder.py:69)
+
+    ds = load_hyper(cfg)
+    G_enc = ds.process(logger)
+
+    t0 = time.time()
+    spg = subg_matrix(G_enc, np.arange(G_enc.num_nodes, dtype=np.int32),
+                      num_walks=cfg.num_walks, num_steps=cfg.num_steps,
+                      seed=cfg.seed)
+    logger.info("Prep. Runtime (LP): %.2fs", time.time() - t0)
+
+    model = HONet(input_dim=cfg.num_steps, hidden_dim=cfg.hidden_channels,
+                  dropout=cfg.dropout)
+    tcfg = TrainConfig(batch_size=cfg.batch_size, lr=cfg.lr,
+                       epochs=cfg.epochs, eval_steps=cfg.eval_steps,
+                       early_stop=cfg.early_stop, seed=cfg.seed)
+    pred = LinkPredictor(model, spg, tcfg, join_fn=hgather_join)
+
+    pos, neg = ds.pos_hedge.T.astype(np.int32), ds.neg_hedge.T.astype(
+        np.int32)
+    edges = np.concatenate([pos, neg], axis=1)
+    labels = np.concatenate([np.ones(pos.shape[1], np.float32),
+                             np.zeros(neg.shape[1], np.float32)])
+
+    val_edge = get_pos_neg_edges("valid", ds.split_edge, None,
+                                 ds.num_nodes, percent=cfg.valid_perc)
+    test_edge = get_pos_neg_edges("test", ds.split_edge, None,
+                                  ds.num_nodes)
+    inf_edge = {"valid": val_edge, "test": test_edge}
+
+    rlog = ResultLogger(runs=cfg.runs, metric="MRR",
+                        early_stop=cfg.early_stop)
+    for run in range(cfg.runs):
+        params, opt_state = pred.init(jax.random.PRNGKey(cfg.seed + run),
+                                      edges[:, :cfg.batch_size])
+        key = jax.random.PRNGKey(cfg.seed + 1000 + run)
+        for epoch in range(cfg.epochs):
+            params, opt_state, loss, auc = pred.train_epoch(
+                params, opt_state, edges, labels, rng, key)
+            logger.info("Run: %02d, Epoch: %02d, Loss: %.4f, AUC: %.4f",
+                        run + 1, epoch, loss, auc)
+            if epoch % cfg.eval_steps == 0:
+                results, d_inf = evaluate(pred, params, inf_edge, "MRR")
+                logger.info("eval MRR: %s (T_test %.2f)", results, d_inf)
+                if rlog.add_result(run, results):
+                    break
+        rlog.print_statistics(run=run, logger=logger)
+    return {"results": rlog,
+            "best": [rlog.best(r) for r in range(cfg.runs)]}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="SUREL+ TPU: higher-order pattern prediction")
+    add_config_args(parser)
+    args = parser.parse_args(argv)
+    cfg = config_from_args(args)
+    out = run_experiment(cfg)
+    print(out.get("best"))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,307 @@
+"""Dataset pipeline: raw link data -> observed/validation/inference graphs.
+
+Reproduces the reference's three dataset classes (dataloader.py):
+
+  LinkPropDataset   (dataloader.py:8-152)   OGB link-prediction graphs
+  DEHDataset        (dataloader.py:155-238) heterogeneous MAG relations
+  DEHyperDataset    (dataloader.py:241-296) hypergraph triplets
+
+with a provider abstraction in place of hard OGB/torch dependencies: OGB
+loading is gated (unavailable in hermetic environments), and a synthetic
+provider generates structurally comparable data for tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Dict, Optional
+
+import numpy as np
+
+from surel_plus_tpu.graph.csr import CSRGraph, csr_from_edges
+from surel_plus_tpu.graph.negative import negative_sampling
+from surel_plus_tpu.graph.synthetic import rmat_graph
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class RawLinkData:
+    """Provider-independent raw payload (what PygLinkPropPredDataset gives
+    the reference: graph edge_index, per-split query edges, features)."""
+
+    edge_index: np.ndarray            # [2, E] graph edges (as loaded)
+    split_edge: Dict                  # OGB-layout split dict
+    num_nodes: int
+    x: Optional[np.ndarray] = None    # [N, F] features
+    edge_weight: Optional[np.ndarray] = None
+    directed: bool = False
+
+
+def from_ogb(name: str) -> RawLinkData:
+    """Load an OGB linkproppred dataset (requires `ogb` + network access)."""
+    from ogb.linkproppred import PygLinkPropPredDataset  # gated import
+
+    ds = PygLinkPropPredDataset(name=name)
+    graph = ds[0]
+    split_edge = ds.get_edge_split()
+    x = graph["x"].numpy() if "x" in graph else None
+    num_nodes = (x.shape[0] if x is not None
+                 else int(graph["edge_index"].max()) + 1)
+    se = _torch_split_to_numpy(split_edge)
+    ew = (graph["edge_weight"].numpy().reshape(-1)
+          if "edge_weight" in graph else None)
+    return RawLinkData(
+        edge_index=graph["edge_index"].numpy(),
+        split_edge=se,
+        num_nodes=num_nodes,
+        x=x,
+        edge_weight=ew,
+        directed="source_node" in se["train"],
+    )
+
+
+def _torch_split_to_numpy(split_edge):
+    out = {}
+    for split, d in split_edge.items():
+        out[split] = {k: np.asarray(v) for k, v in d.items()}
+    return out
+
+
+def synthetic_link_data(
+    num_nodes: int = 2000,
+    num_edges: int = 8000,
+    seed: int = 0,
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    num_feature: int = 0,
+    mrr_style: bool = False,
+    neg_per_query: int = 50,
+) -> RawLinkData:
+    """OGB-shaped synthetic data: an RMAT graph split into train/valid/test
+    query edges with sampled evaluation negatives."""
+    rng = np.random.default_rng(seed)
+    g = rmat_graph(num_nodes, num_edges, seed=seed)
+    # unique undirected edges (u < v)
+    sp = g.to_scipy().tocoo()
+    keep = sp.row < sp.col
+    edges = np.stack([sp.row[keep], sp.col[keep]]).astype(np.int64)
+    E = edges.shape[1]
+    perm = rng.permutation(E)
+    n_val, n_test = int(E * val_frac), int(E * test_frac)
+    test_e = edges[:, perm[:n_test]]
+    val_e = edges[:, perm[n_test:n_test + n_val]]
+    train_e = edges[:, perm[n_test + n_val:]]
+
+    if mrr_style:
+        split_edge = {
+            "train": {"source_node": train_e[0], "target_node": train_e[1]},
+            "valid": {"source_node": val_e[0], "target_node": val_e[1],
+                      "target_node_neg": rng.integers(
+                          0, num_nodes, size=(n_val, neg_per_query))},
+            "test": {"source_node": test_e[0], "target_node": test_e[1],
+                     "target_node_neg": rng.integers(
+                         0, num_nodes, size=(n_test, neg_per_query))},
+        }
+    else:
+        split_edge = {
+            "train": {"edge": train_e.T},
+            "valid": {"edge": val_e.T,
+                      "edge_neg": negative_sampling(
+                          edges, num_nodes, n_val * 2, rng=rng).T},
+            "test": {"edge": test_e.T,
+                     "edge_neg": negative_sampling(
+                         edges, num_nodes, n_test * 2, rng=rng).T},
+        }
+    x = (rng.standard_normal((num_nodes, num_feature)).astype(np.float32)
+         if num_feature else None)
+    return RawLinkData(edge_index=train_e, split_edge=split_edge,
+                       num_nodes=num_nodes, x=x,
+                       directed=mrr_style)
+
+
+class LinkPropDataset:
+    """Observed-graph construction with edge masking, negative sampling,
+    and use_val inference-graph merging (dataloader.py:8-152)."""
+
+    def __init__(self, raw: RawLinkData, mask_ratio: float = 0.05,
+                 k: int = 10, use_weight: bool = False,
+                 use_coalesce: bool = False, use_feature: bool = False,
+                 use_val: bool = False, rng: Optional[np.random.Generator]
+                 = None, vessel_mode: bool = False):
+        self.raw = raw
+        self.mask_ratio = mask_ratio
+        self.k = k
+        self.use_weight = use_weight and raw.edge_weight is not None
+        self.use_coalesce = use_coalesce
+        self.use_feature = use_feature
+        self.use_val = use_val
+        self.vessel_mode = vessel_mode
+        self.rng = rng if rng is not None else np.random.default_rng(0)
+        self.num_nodes = raw.num_nodes
+        self.num_feature = raw.x.shape[1] if raw.x is not None else 0
+
+        if raw.directed:
+            # citation2-style: the full graph edge list is the train edge
+            # pool (dataloader.py:32-34)
+            self.train_edge = raw.edge_index.T.copy()     # [E, 2]
+        else:
+            self.train_edge = np.asarray(
+                raw.split_edge["train"]["edge"], dtype=np.int64)
+        self.train_weight = (np.asarray(raw.edge_weight)
+                             if self.use_weight else None)
+        self.len_train = len(self.train_edge)
+
+        if use_feature and raw.x is not None and vessel_mode:
+            # vessel column-normalizes features (dataloader.py:23-24)
+            norms = np.linalg.norm(raw.x, axis=0, keepdims=True)
+            self.x = raw.x / np.maximum(norms, 1e-12)
+        else:
+            self.x = raw.x
+
+    def process(self, logger=None) -> Dict[str, CSRGraph]:
+        lg = logger or log
+        lg.info("node size %d, feature dim %d, edge size %d, mask %.3f",
+                self.num_nodes, self.num_feature, self.len_train,
+                self.mask_ratio)
+
+        if self.vessel_mode:
+            pos_edge, obsrv_edge, idx = self._vessel_split()
+            force_undirected = True
+        else:
+            self.num_pos = int(self.len_train * self.mask_ratio)
+            idx = self.rng.permutation(self.len_train)
+            pos_edge = self.train_edge[idx[:self.num_pos]]
+            obsrv_edge = self.train_edge[idx[self.num_pos:]]
+            force_undirected = False
+        self.pos_edge = pos_edge
+
+        # negatives indexed by the same permutation prefix — preserves the
+        # reference's selection quirk (dataloader.py:76-79)
+        neg = negative_sampling(
+            self.raw.edge_index, num_nodes=self.num_nodes,
+            num_neg_samples=self.len_train + 1, rng=self.rng,
+            force_undirected=force_undirected)
+        take = idx[:min(self.num_pos * self.k, self.len_train)]
+        self.neg_edge = neg[:, take].T
+
+        obsrv_w = (self.train_weight[idx[self.num_pos:]]
+                   if self.use_weight else None)
+        val_w = self.train_weight if self.use_weight else None
+
+        val_edge = self.train_edge
+        if self.use_val:
+            valid_e = np.asarray(self.raw.split_edge["valid"]["edge"],
+                                 dtype=np.int64)
+            obsrv_edge = np.concatenate([obsrv_edge, valid_e])
+            inf_edge = np.concatenate([self.train_edge, valid_e])
+            if self.use_weight:
+                vw = np.asarray(self.raw.split_edge["valid"]["weight"])
+                obsrv_w = np.concatenate([obsrv_w, vw])
+                inf_w = np.concatenate([val_w, vw])
+            else:
+                inf_w = None
+        else:
+            inf_edge, inf_w = None, None
+
+        n = self.num_nodes
+        G_obsrv = csr_from_edges(obsrv_edge, num_nodes=n, weights=obsrv_w,
+                                 coalesce=self.use_coalesce or True)
+        G_val = csr_from_edges(val_edge, num_nodes=n, weights=val_w)
+        if self.use_val:
+            G_full = csr_from_edges(inf_edge, num_nodes=n, weights=inf_w)
+        else:
+            G_full = G_val
+
+        lg.info("observed graph: %d nodes, %d (sym) edges",
+                int((G_obsrv.degrees() > 0).sum()), G_obsrv.num_edges // 2)
+        return {"train": G_obsrv, "val": G_val, "test": G_full}
+
+    def _vessel_split(self):
+        """3-hop-subgraph positive masking around low-degree nodes
+        (dataloader.py:59-67)."""
+        e = self.train_edge
+        deg = np.bincount(e[:, 0], minlength=self.num_nodes)
+        order = np.argsort(deg, kind="stable")
+        target = order[deg[order] > 0]
+        pick = self.rng.permutation(len(target))
+        seeds = target[pick[:int(self.len_train * self.mask_ratio)]]
+        # 3-hop BFS node closure over the (undirected) edge list
+        in_hop = np.zeros(self.num_nodes, dtype=bool)
+        in_hop[seeds] = True
+        for _ in range(3):
+            touched = in_hop[e[:, 0]] | in_hop[e[:, 1]]
+            in_hop[e[touched, 0]] = True
+            in_hop[e[touched, 1]] = True
+        edge_mask = in_hop[e[:, 0]] & in_hop[e[:, 1]]
+        self.num_pos = int(edge_mask.sum())
+        return e[edge_mask], e[~edge_mask], self.rng.permutation(
+            self.len_train)
+
+
+class DEHyperDataset:
+    """Hypergraph triplet prediction data (dataloader.py:241-296)."""
+
+    def __init__(self, edge_index: np.ndarray, triplets: Dict,
+                 num_nodes: Optional[int] = None, k: int = 10,
+                 rng: Optional[np.random.Generator] = None):
+        """edge_index: [E, 2] pairwise projection edges used for the
+        encoder graph; triplets: split dict with 'hedge' [T, 3] entries."""
+        self.obsrv_edge = np.asarray(edge_index, dtype=np.int64)
+        self.split_edge = triplets
+        self.k = k
+        self.rng = rng if rng is not None else np.random.default_rng(0)
+        self.num_nodes = (num_nodes if num_nodes is not None
+                          else int(self.obsrv_edge.max()) + 1)
+        self.num_feature = 0
+
+    @staticmethod
+    def make_edge_split(tuples: np.ndarray, ratio: float = 0.6,
+                        k: int = 1000, seed: int = 2021) -> Dict:
+        """Train/valid/test triplet split with k random-node negatives per
+        eval triplet (dataloader.py:255-269)."""
+        np.random.seed(seed)
+        tuples = np.asarray(tuples)
+        idx = np.random.permutation(len(tuples))
+        num_train = int(ratio * len(tuples))
+        split = {"train": {"hedge": tuples[idx[:num_train]]}}
+        val_idx, test_idx = np.split(idx[num_train:], 2)
+        for name, part in (("valid", val_idx), ("test", test_idx)):
+            hedge = tuples[part]
+            node_neg = np.random.randint(tuples.max(), size=(len(part), k))
+            neg = np.concatenate([
+                np.repeat(hedge[:, :2], k, axis=0),
+                node_neg.reshape(-1, 1)], axis=1)
+            split[name] = {"hedge": hedge, "hedge_neg": neg}
+        split["train"]["hedge"] = tuples[idx[:num_train]]
+        return split
+
+    def process(self, logger=None):
+        lg = logger or log
+        pos = np.asarray(self.split_edge["train"]["hedge"])
+        node_neg = self.rng.integers(0, self.num_nodes,
+                                     size=(len(pos), self.k))
+        neg = np.concatenate([
+            np.repeat(pos[:, :2], self.k, axis=0),
+            node_neg.reshape(-1, 1)], axis=1)
+        self.pos_hedge = pos          # [T, 3]
+        self.neg_hedge = neg          # [T*k, 3]
+        lg.info("hypergraph: %d nodes, %d encoder edges, %d train triplets",
+                self.num_nodes, len(self.obsrv_edge), len(pos))
+        return csr_from_edges(self.obsrv_edge, num_nodes=self.num_nodes)
+
+
+def synthetic_hyper_data(num_nodes: int = 500, num_triplets: int = 2000,
+                         seed: int = 0):
+    """Synthetic hypergraph: random triplets; encoder graph = pairwise
+    projection of each triplet (the reference datasets ship projected
+    edge lists in their pickles)."""
+    rng = np.random.default_rng(seed)
+    tri = rng.integers(0, num_nodes, size=(num_triplets, 3))
+    tri = tri[(tri[:, 0] != tri[:, 1]) & (tri[:, 1] != tri[:, 2])
+              & (tri[:, 0] != tri[:, 2])]
+    edges = np.concatenate([tri[:, [0, 1]], tri[:, [1, 2]], tri[:, [0, 2]]])
+    split = DEHyperDataset.make_edge_split(tri, ratio=0.6, k=20, seed=seed)
+    return DEHyperDataset(edges, split, num_nodes=num_nodes,
+                          rng=np.random.default_rng(seed))

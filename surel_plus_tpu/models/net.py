@@ -48,11 +48,17 @@ class Net(nn.Module):
         joined: JoinedBatch with eidx [2, B, L, 2], mask [2, B, L].
         feature: optional raw features [2, B, x_dim].
         Returns logits [B]."""
-        # Embed unique encodings once; join == gather + add (model.py:78's
-        # pe_embedding(x).sum(dim=-2), algebraically rewritten).
-        table = MLP2(self.hidden_dim, self.hidden_dim,
-                     name="pe_embedding")(enc_table)       # [U+1, h]
-        pair = table[joined.eidx]                          # [2, B, L, 2, h]
+        pe = MLP2(self.hidden_dim, self.hidden_dim, name="pe_embedding")
+        if jnp.issubdtype(joined.eidx.dtype, jnp.integer):
+            # LP path: embed unique encodings once; join == gather + add
+            # (model.py:78's pe_embedding(x).sum(dim=-2), algebraically
+            # rewritten over the deduped table).
+            table = pe(enc_table)                          # [U+1, h]
+            pair = table[joined.eidx]                      # [2, B, L, 2, h]
+        else:
+            # scalar metric path (PPR/SPD/DEG, encode=None in train.py:39-43):
+            # joined.eidx carries float value pairs [2, B, L, 2].
+            pair = pe(joined.eidx[..., None])
         x = pair.sum(axis=-2)                              # [2, B, L, h]
 
         if self.aggrs == "attn":

@@ -1,0 +1,179 @@
+"""Multi-chip distribution: data-parallel batches x row-sharded SpG.
+
+The reference is strictly single-process / single-GPU (main.py:128-129,
+README "Single GPU training"); this module is new capability, not a port.
+
+Design (see SURVEY.md §2.3 consequence):
+  mesh = (data, graph)
+  * 'data'  — query batches sharded; gradients pmean'd (classic DP).
+  * 'graph' — SpG rows (sampled sets + enc indices) sharded by contiguous
+    row ranges; each device holds num_rows/graph_size rows. A batch gather
+    of arbitrary rows is an owner-masked local gather + `psum` over 'graph'
+    (exactly one owner per row, so the sum reconstructs the row). This is
+    what lets billion-edge SpGs exceed single-chip HBM.
+  * params + enc table — replicated (they are tiny: the encoding table is
+    SUREL+'s compressed unique set, and the model is ~100k params).
+
+Collectives ride ICI via `shard_map`; XLA overlaps the row-psum with the
+local join where profitable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from surel_plus_tpu.ops.join import JoinedBatch, gather_join
+from surel_plus_tpu.spg.spg import SpG
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              graph_axis: Optional[int] = None) -> Mesh:
+    """Build a (data, graph) mesh over the first n_devices devices."""
+    devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    n = len(devices)
+    if graph_axis is None:
+        graph_axis = 2 if (n % 2 == 0 and n >= 2) else 1
+    data_axis = n // graph_axis
+    assert data_axis * graph_axis == n, (n, data_axis, graph_axis)
+    dev_array = np.asarray(devices).reshape(data_axis, graph_axis)
+    return Mesh(dev_array, axis_names=("data", "graph"))
+
+
+def _pad_rows(arr: np.ndarray, rows: int) -> np.ndarray:
+    if arr.shape[0] == rows:
+        return arr
+    pad = np.zeros((rows - arr.shape[0], *arr.shape[1:]), arr.dtype)
+    return np.concatenate([arr, pad])
+
+
+@dataclasses.dataclass
+class ShardedSpG:
+    """SpG padded to a multiple of the graph axis and sharded row-wise."""
+
+    nodes: jax.Array   # [R, L] sharded P('graph', None)
+    eidx: jax.Array
+    sizes: jax.Array   # [R]
+    enc: jax.Array     # [U+1, ncol] replicated
+    rows_per_shard: int
+    num_rows: int
+
+
+def shard_spg(spg: SpG, mesh: Mesh) -> ShardedSpG:
+    gp = mesh.shape["graph"]
+    rows = ((spg.num_rows + gp - 1) // gp) * gp
+    nodes = _pad_rows(spg.nodes, rows)
+    eidx = _pad_rows(spg.eidx, rows)
+    sizes = _pad_rows(spg.sizes, rows)
+    row_sharding = NamedSharding(mesh, P("graph", None))
+    size_sharding = NamedSharding(mesh, P("graph"))
+    repl = NamedSharding(mesh, P())
+    return ShardedSpG(
+        nodes=jax.device_put(nodes, row_sharding),
+        eidx=jax.device_put(eidx, row_sharding),
+        sizes=jax.device_put(sizes, size_sharding),
+        enc=jax.device_put(spg.enc_normalized(), repl),
+        rows_per_shard=rows // gp,
+        num_rows=spg.num_rows,
+    )
+
+
+def dist_gather_rows(local: jax.Array, row_ids: jax.Array,
+                     rows_per_shard: int, axis: str = "graph") -> jax.Array:
+    """Gather global rows from a row-sharded array inside shard_map.
+
+    Each device masks rows it does not own to zero; a psum over the graph
+    axis reconstructs every row (single-owner invariant).
+    """
+    shard = jax.lax.axis_index(axis)
+    local_ids = row_ids - shard * rows_per_shard
+    owned = (local_ids >= 0) & (local_ids < rows_per_shard)
+    safe = jnp.clip(local_ids, 0, rows_per_shard - 1)
+    got = local[safe]
+    mask_shape = (owned.shape + (1,) * (got.ndim - owned.ndim))
+    got = jnp.where(owned.reshape(mask_shape), got, 0)
+    return jax.lax.psum(got, axis)
+
+
+class DistributedTrainStep:
+    """Builds a jitted (data x graph)-sharded train step for `Net`-style
+    models over a ShardedSpG."""
+
+    def __init__(self, model, optimizer, mesh: Mesh, sspg: ShardedSpG,
+                 join_fn: Callable = gather_join):
+        self.model = model
+        self.optimizer = optimizer
+        self.mesh = mesh
+        self.sspg = sspg
+        self.join_fn = join_fn
+        self._step = self._build()
+
+    def _build(self):
+        mesh, sspg = self.mesh, self.sspg
+        rps = sspg.rows_per_shard
+
+        def step_local(params, opt_state, nodes, eidx, sizes, enc,
+                       edges, labels, weights, rng):
+            # edges: [Q, B_local] global SpG row ids (data-sharded)
+            rows_nodes = dist_gather_rows(nodes, edges, rps)
+            rows_eidx = dist_gather_rows(eidx, edges, rps)
+            rows_sizes = dist_gather_rows(sizes, edges, rps)
+            joined = self._join_rows(rows_nodes, rows_eidx, rows_sizes)
+
+            def loss_fn(p):
+                logits = self.model.apply(p, enc, joined, None, train=True,
+                                          rngs={"dropout": rng})
+                per = optax.sigmoid_binary_cross_entropy(logits, labels)
+                return ((per * weights).sum()
+                        / jnp.maximum(weights.sum(), 1.0))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            # average over data shards; graph shards hold identical grads
+            grads = jax.lax.pmean(grads, "data")
+            loss = jax.lax.pmean(loss, "data")
+            updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                       params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        sharded = jax.shard_map(
+            step_local, mesh=mesh,
+            in_specs=(P(), P(), P("graph", None), P("graph", None),
+                      P("graph"), P(), P(None, "data"), P("data"),
+                      P("data"), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    def _join_rows(self, rows_nodes, rows_eidx, rows_sizes) -> JoinedBatch:
+        from surel_plus_tpu.ops.join import _cross_lookup
+        from surel_plus_tpu.ops.walk import INT32_MAX
+
+        # rows were psum-masked: padding slots carry INT32_MAX only on the
+        # owner; reconstruct the mask from sizes instead of the sentinel.
+        L = rows_nodes.shape[-1]
+        slot = jnp.arange(L, dtype=jnp.int32)
+        valid = slot[None, None, :] < rows_sizes[:, :, None]
+        rows_nodes = jnp.where(valid, rows_nodes, INT32_MAX)
+        nu, nv = rows_nodes[0], rows_nodes[1]
+        eu, ev = rows_eidx[0] * valid[0], rows_eidx[1] * valid[1]
+        cross_u = _cross_lookup(nu, nv, ev)
+        cross_v = _cross_lookup(nv, nu, eu)
+        eidx_out = jnp.stack([
+            jnp.stack([eu, cross_u], axis=-1),
+            jnp.stack([ev, cross_v], axis=-1),
+        ])
+        return JoinedBatch(eidx=eidx_out, mask=valid, sizes=rows_sizes)
+
+    def __call__(self, params, opt_state, edges, labels, weights, rng):
+        return self._step(params, opt_state, self.sspg.nodes,
+                          self.sspg.eidx, self.sspg.sizes, self.sspg.enc,
+                          edges, labels, weights, rng)

@@ -1,0 +1,18 @@
+"""Scalar metric-path predictor: LinkPredictor over a ScalarSpG.
+
+Same engine, different join: `gather_join_scalar` pairs float structural
+scores instead of encoding-table indices (reference train.py:39-43,
+encode=None branch).
+"""
+
+from __future__ import annotations
+
+from surel_plus_tpu.ops.encoders import ScalarSpG, gather_join_scalar
+from surel_plus_tpu.train.loop import LinkPredictor, TrainConfig
+
+
+class ScalarLinkPredictor(LinkPredictor):
+    def __init__(self, model, sspg: ScalarSpG, config: TrainConfig,
+                 feature=None):
+        super().__init__(model, sspg, config,
+                         join_fn=gather_join_scalar, feature=feature)

@@ -1,0 +1,102 @@
+"""Typed experiment configuration with per-dataset overrides.
+
+Replaces the reference argparse surface (main.py:26-84, main_horder.py:25-60)
+and its hard-coded per-dataset override block (main.py:100-118) with a
+dataclass; `apply_dataset_overrides` reproduces those exact rules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    # data
+    dataset: str = "ogbl-citation2"
+    relation: str = "cite"             # mag: 'write' | 'cite'
+    train_ratio: float = 0.05          # mask_ratio
+    valid_perc: int = 100
+    k: int = 10                        # negatives per positive
+    use_raw: bool = False
+    use_weight: bool = False
+    use_val: bool = False
+    # sampling
+    sencoder: str = "LP"               # LP | PPR | SPD | DEG
+    num_walks: int = 100
+    num_steps: int = 4                 # CLI convention: walks of S-1 steps
+    bucket: int = -1
+    alpha: float = 0.5                 # PPR teleport
+    eps: float = 1e-4
+    topk: int = 100
+    # model
+    num_layers: int = 3
+    hidden_channels: int = 96
+    dropout: float = 0.1
+    aggrs: str = "mean"                # mean | lstm | attn
+    # training
+    batch_size: int = 1024
+    lr: float = 1e-3
+    epochs: int = 200
+    eval_steps: int = 5
+    early_stop: int = -1
+    runs: int = 1
+    seed: int = 0
+    # infra
+    metric: str = "MRR"
+    log_dir: str = "./log/"
+    load_model: Optional[str] = None
+    inf_only: bool = False
+    save_ppr: bool = False
+    load_ppr: bool = False
+    debug: bool = False
+    # synthetic-data knobs (hermetic runs)
+    synth_nodes: int = 10000
+    synth_edges: int = 50000
+
+
+def apply_dataset_overrides(cfg: ExperimentConfig) -> ExperimentConfig:
+    """Per-dataset metric/knob overrides (main.py:100-118)."""
+    name = cfg.dataset
+    if "ddi" in name:
+        cfg.metric = "Hits@20"
+    elif "collab" in name:
+        cfg.metric = "Hits@50"
+        cfg.use_val = True
+        cfg.alpha = 0.7
+    elif "ppa" in name:
+        cfg.metric = "Hits@100"
+        cfg.alpha = 0.5
+    elif "citation" in name:
+        cfg.metric = "MRR"
+        cfg.alpha = 0.1
+    elif "vessel" in name:
+        cfg.use_raw = True
+        cfg.metric = "AUC"
+    elif "mag" in name:
+        cfg.metric = "MRR"
+    elif "synth" in name:
+        pass  # keep caller-provided metric
+    else:
+        raise NotImplementedError(f"dataset {name}")
+    return cfg
+
+
+def add_config_args(parser, cls=ExperimentConfig):
+    """Register every dataclass field as an argparse flag."""
+    for f in dataclasses.fields(cls):
+        name = f"--{f.name}"
+        if f.type == "bool" or f.type is bool:
+            parser.add_argument(name, action="store_true",
+                                default=f.default)
+        else:
+            typ = {"int": int, "float": float, "str": str,
+                   "Optional[str]": str}.get(str(f.type), str)
+            parser.add_argument(name, type=typ, default=f.default)
+    return parser
+
+
+def config_from_args(args, cls=ExperimentConfig) -> ExperimentConfig:
+    fields = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in vars(args).items() if k in fields})

@@ -1,0 +1,88 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: sharded SpG row
+gather correctness and the distributed train step vs the single-device
+step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from surel_plus_tpu.graph.synthetic import rmat_graph
+from surel_plus_tpu.models import Net
+from surel_plus_tpu.ops.join import gather_join
+from surel_plus_tpu.ops.sampler import sample_gsets
+from surel_plus_tpu.parallel.dist import (
+    DistributedTrainStep, make_mesh, shard_spg)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    g = rmat_graph(200, 1000, seed=0)
+    seeds = np.arange(200, dtype=np.int32)
+    spg = sample_gsets(g, seeds, num_walks=8, num_steps=2, seed=1,
+                       block_size=200)
+    model = Net(input_dim=3, hidden_dim=16, aggrs="mean", dropout=0.0)
+    return g, spg, model
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.shape == {"data": 4, "graph": 2}
+    mesh = make_mesh(8, graph_axis=4)
+    assert mesh.shape == {"data": 2, "graph": 4}
+
+
+def test_distributed_step_matches_single(setup):
+    g, spg, model = setup
+    mesh = make_mesh(8)
+    sspg = shard_spg(spg, mesh)
+
+    B = 32
+    rng = np.random.default_rng(0)
+    edges = rng.integers(0, 200, size=(2, B)).astype(np.int32)
+    labels = (np.arange(B) % 2).astype(np.float32)
+    weights = np.ones(B, np.float32)
+
+    dev = spg.device()
+    joined = gather_join(dev.nodes, dev.eidx, dev.sizes, jnp.asarray(edges))
+    params = model.init(jax.random.PRNGKey(0), dev.enc, joined)
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0),
+                            optax.adam(1e-2))
+    opt_state = optimizer.init(params)
+
+    # single-device reference step
+    def single_step(params, opt_state):
+        def loss_fn(p):
+            logits = model.apply(p, dev.enc, joined, None, train=False)
+            per = optax.sigmoid_binary_cross_entropy(
+                logits, jnp.asarray(labels))
+            return per.mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    p1, _, loss1 = single_step(params, opt_state)
+
+    step = DistributedTrainStep(model, optimizer, mesh, sspg)
+    p2, _, loss2 = step(params, opt_state, jnp.asarray(edges),
+                        jnp.asarray(labels), jnp.asarray(weights),
+                        jax.random.PRNGKey(9))
+
+    assert np.isclose(float(loss1), float(loss2), rtol=1e-5), \
+        (float(loss1), float(loss2))
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_graft_entry_dryrun():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.all(np.isfinite(np.asarray(out)))
+    ge.dryrun_multichip(8)

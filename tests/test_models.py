@@ -93,14 +93,20 @@ def test_attention_reduces_to_weighted_sum():
 
 def test_lstm_ignores_padding():
     rng = np.random.default_rng(4)
-    x = jnp.asarray(rng.random((2, 5, H)).astype(np.float32))
+    x = np.asarray(rng.random((2, 5, H)).astype(np.float32))
     mask = jnp.asarray([[True] * 5, [True, True, False, False, False]])
     mod = LSTMAggregation(H)
-    params = mod.init(jax.random.PRNGKey(0), x, mask)
-    out = mod.apply(params, x, mask)
-    out2 = mod.apply(params, x[1:, :2], jnp.asarray([[True, True]]))
-    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(out2[0]),
-                               rtol=1e-5, atol=1e-6)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), mask)
+    out = mod.apply(params, jnp.asarray(x), mask)
+    # corrupt masked slots: output must be bitwise unchanged
+    x2 = x.copy()
+    x2[1, 2:] = 1e6
+    out2 = mod.apply(params, jnp.asarray(x2), mask)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    # and masked rows genuinely differ from unmasked ones
+    out3 = mod.apply(params, jnp.asarray(x),
+                     jnp.asarray([[True] * 5, [True] * 5]))
+    assert not np.allclose(np.asarray(out[1]), np.asarray(out3[1]))
 
 
 def test_honet_forward():
