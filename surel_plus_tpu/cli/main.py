@@ -41,7 +41,7 @@ log = logging.getLogger(__name__)
 
 
 def load_raw(cfg: ExperimentConfig) -> RawLinkData:
-    if cfg.dataset.startswith("ogbl-") or cfg.dataset == "mag":
+    if cfg.dataset.startswith("ogbl-"):
         return from_ogb(cfg.dataset)
     if "synth" in cfg.dataset:
         return synthetic_link_data(
@@ -49,6 +49,21 @@ def load_raw(cfg: ExperimentConfig) -> RawLinkData:
             seed=cfg.seed, num_feature=16 if cfg.use_raw else 0,
             mrr_style=("MRR" in cfg.metric))
     raise NotImplementedError(cfg.dataset)
+
+
+def load_hetero(cfg: ExperimentConfig, rng):
+    """MAG relation datasets (reference main.py:131-133): real pickles or a
+    synthetic stand-in."""
+    from surel_plus_tpu.graph.datasets import (
+        DEHDataset, synthetic_hetero_data)
+
+    if "synth" in cfg.dataset:
+        return synthetic_hetero_data(relation=cfg.relation, seed=cfg.seed,
+                                     mask_ratio=cfg.train_ratio, k=cfg.k,
+                                     rng=rng)
+    return DEHDataset.from_pickle(
+        f"./dataset/sgrl/{cfg.dataset}_{cfg.relation}.pl", cfg.relation,
+        mask_ratio=cfg.train_ratio, k=cfg.k, rng=rng)
 
 
 def _scalar_pipeline(cfg, G, logger):
@@ -67,20 +82,25 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
         logger = set_up_log(cfg.log_dir, cfg.dataset,
                             args_repr=str(dataclasses.asdict(cfg)))
 
-    raw = load_raw(cfg)
-    ds = LinkPropDataset(
-        raw, mask_ratio=cfg.train_ratio, k=cfg.k,
-        use_weight=cfg.use_weight, use_coalesce=cfg.use_weight,
-        use_feature=cfg.use_raw, use_val=cfg.use_val, rng=rng,
-        vessel_mode=("vessel" in cfg.dataset))
+    if "mag" in cfg.dataset:
+        ds = load_hetero(cfg, rng)
+        raw_split, raw_edge_index = ds.split_edge, ds.train_edge.T
+    else:
+        raw = load_raw(cfg)
+        ds = LinkPropDataset(
+            raw, mask_ratio=cfg.train_ratio, k=cfg.k,
+            use_weight=cfg.use_weight, use_coalesce=cfg.use_weight,
+            use_feature=cfg.use_raw, use_val=cfg.use_val, rng=rng,
+            vessel_mode=("vessel" in cfg.dataset))
+        raw_split, raw_edge_index = raw.split_edge, raw.edge_index
     graphs = ds.process(logger)
 
     train_edge = (ds.pos_edge.T.astype(np.int32),
                   ds.neg_edge.T.astype(np.int32))
-    val_edge = get_pos_neg_edges("valid", raw.split_edge, raw.edge_index,
+    val_edge = get_pos_neg_edges("valid", raw_split, raw_edge_index,
                                  ds.num_nodes, percent=cfg.valid_perc,
                                  rng=rng)
-    test_edge = get_pos_neg_edges("test", raw.split_edge, raw.edge_index,
+    test_edge = get_pos_neg_edges("test", raw_split, raw_edge_index,
                                   ds.num_nodes, rng=rng)
     inf_edge = {"valid": val_edge, "test": test_edge}
 
@@ -106,7 +126,7 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
     logger.info("Prep. Runtime (%s): %.2fs", cfg.sencoder,
                 time.time() - prep_start)
 
-    feature = ds.x if cfg.use_raw else None
+    feature = getattr(ds, "x", None) if cfg.use_raw else None
     model = Net(input_dim=input_dim, hidden_dim=cfg.hidden_channels,
                 out_dim=1, x_dim=ds.num_feature, dropout=cfg.dropout,
                 use_feature=cfg.use_raw, aggrs=cfg.aggrs)

@@ -240,6 +240,116 @@ class LinkPropDataset:
             self.len_train)
 
 
+class DEHDataset:
+    """Heterogeneous relation-prediction data: MAG author-writes-paper /
+    paper-cites-paper (dataloader.py:155-238). Node ids of all types share
+    one id space (the reference's pickles are pre-flattened the same way).
+
+    The observed graph for structural features is the union of the masked
+    train split and the auxiliary relation edges (`obsrv_edge`)."""
+
+    def __init__(self, train_edge: np.ndarray, obsrv_edge: np.ndarray,
+                 split_edge: Dict, num_nodes: int,
+                 node_types: Optional[list] = None, mask_ratio: float = 0.05,
+                 k: int = 10, rng: Optional[np.random.Generator] = None):
+        self.train_edge = np.asarray(train_edge, dtype=np.int64)  # [E, 2]
+        self.obsrv_edge = np.asarray(obsrv_edge, dtype=np.int64)
+        self.split_edge = split_edge
+        self.num_nodes = num_nodes
+        self.node_type = node_types or ["node"]
+        self.mask_ratio = mask_ratio
+        self.k = k
+        self.rng = rng if rng is not None else np.random.default_rng(0)
+        self.num_feature = len(self.node_type)
+        self.len_train = len(self.train_edge)
+
+    @staticmethod
+    def from_pickle(path: str, relation: str, **kw) -> "DEHDataset":
+        """Load the reference's torch pickle layout (dataloader.py:157-164):
+        dict with 'split_edge', 'num_nodes_dict', 'edge_index' keyed by
+        (src_type, rel, dst_type)."""
+        import torch
+
+        data = torch.load(path)
+        rel_key = (("author", "writes", "paper") if relation == "cite"
+                   else ("paper", "cites", "paper"))
+        obsrv = np.asarray(data["edge_index"][rel_key])
+        if obsrv.shape[0] == 2:
+            obsrv = obsrv.T
+        split_edge = {s: {k2: np.asarray(v2) for k2, v2 in d.items()}
+                      for s, d in data["split_edge"].items()}
+        train_edge = np.asarray(split_edge["train"]["edge"])
+        num_nodes = int(max(train_edge.max(), obsrv.max())) + 1
+        return DEHDataset(train_edge, obsrv, split_edge, num_nodes,
+                          node_types=list(data["num_nodes_dict"]), **kw)
+
+    def process(self, logger=None) -> Dict[str, CSRGraph]:
+        lg = logger or log
+        lg.info("hetero: %d nodes, %d train edges, %d obsrv edges, mask %.3f",
+                self.num_nodes, self.len_train, len(self.obsrv_edge),
+                self.mask_ratio)
+        self.num_pos = int(self.len_train * self.mask_ratio)
+        idx = self.rng.permutation(self.len_train)
+        self.pos_edge = self.train_edge[idx[:self.num_pos]]
+        obsrv_edge = np.concatenate(
+            [self.train_edge[idx[self.num_pos:]], self.obsrv_edge])
+
+        neg = negative_sampling(self.train_edge.T, num_nodes=self.num_nodes,
+                                num_neg_samples=self.len_train,
+                                rng=self.rng)
+        take = idx[:min(self.num_pos * self.k, self.len_train)]
+        self.neg_edge = neg[:, take].T
+
+        val_edge = np.concatenate([self.train_edge, self.obsrv_edge])
+        n = self.num_nodes
+        G_obsrv = csr_from_edges(obsrv_edge, num_nodes=n)
+        G_val = csr_from_edges(val_edge, num_nodes=n)
+        lg.info("observed graph: %d nodes, %d (sym) edges",
+                int((G_obsrv.degrees() > 0).sum()), G_obsrv.num_edges // 2)
+        return {"train": G_obsrv, "val": G_val, "test": G_val}
+
+
+def synthetic_hetero_data(num_authors: int = 300, num_papers: int = 500,
+                          num_writes: int = 1500, num_cites: int = 2000,
+                          relation: str = "cite", seed: int = 0,
+                          neg_per_query: int = 20, **kw) -> DEHDataset:
+    """MAG-shaped synthetic data: author ids [0, A), paper ids
+    [A, A+P) in one flat id space; 'writes' bipartite edges + 'cites'
+    paper-paper edges. The predicted relation's edges are the train pool;
+    the other relation is the auxiliary observed graph."""
+    rng = np.random.default_rng(seed)
+    n = num_authors + num_papers
+    writes = np.stack([
+        rng.integers(0, num_authors, num_writes),
+        rng.integers(num_authors, n, num_writes)], axis=1)
+    cites = np.stack([
+        rng.integers(num_authors, n, num_cites),
+        rng.integers(num_authors, n, num_cites)], axis=1)
+    cites = cites[cites[:, 0] != cites[:, 1]]
+    # predicted relation = 'cites' when relation == 'cite' per the
+    # reference naming quirk (dataloader.py:162: rel 'cite' loads writes as
+    # obsrv); train pool is whichever relation the split predicts.
+    pred, obsrv = (cites, writes) if relation == "cite" else (writes, cites)
+    perm = rng.permutation(len(pred))
+    n_eval = max(len(pred) // 10, 1)
+    test_e, val_e, train_e = (pred[perm[:n_eval]],
+                              pred[perm[n_eval:2 * n_eval]],
+                              pred[perm[2 * n_eval:]])
+    split_edge = {
+        "train": {"source_node": train_e[:, 0], "target_node": train_e[:, 1],
+                  "edge": train_e},
+        "valid": {"source_node": val_e[:, 0], "target_node": val_e[:, 1],
+                  "target_node_neg": rng.integers(
+                      0, n, (len(val_e), neg_per_query))},
+        "test": {"source_node": test_e[:, 0], "target_node": test_e[:, 1],
+                 "target_node_neg": rng.integers(
+                     0, n, (len(test_e), neg_per_query))},
+    }
+    return DEHDataset(train_e, obsrv, split_edge, n,
+                      node_types=["author", "paper"],
+                      rng=np.random.default_rng(seed), **kw)
+
+
 class DEHyperDataset:
     """Hypergraph triplet prediction data (dataloader.py:241-296)."""
 

@@ -57,23 +57,33 @@ def shuffle_csr_rows(indptr: jax.Array, indices: jax.Array,
 
 def _walk_block(indptr: jax.Array, indices: jax.Array,
                 shuffled_indices: jax.Array, seeds: jax.Array,
-                num_walks: int, num_steps: int, key: jax.Array) -> jax.Array:
+                num_walks: int, num_steps: int, key: jax.Array,
+                replacement: bool = False) -> jax.Array:
     """Run `num_walks` walks of `num_steps` steps from each seed.
 
     Returns int32 [block, num_walks, num_steps] node ids (the node visited at
-    each step; step 0 = first hop).
+    each step; step 0 = first hop). `replacement=True` makes step 0 uniform
+    i.i.d. like later steps (the SUREL-v1 `random_walk` mode,
+    subg_acc.c:144-180); default is the SUREL+ without-replacement first hop.
     """
     block = seeds.shape[0]
     start = indptr[seeds]
     deg = indptr[seeds + 1] - start
 
-    # Step 0: without replacement via the per-row shuffle. `m % deg` gives
-    # round-robin coverage when deg <= num_walks and the first num_walks
-    # entries of a random permutation otherwise — exactly the C semantics
-    # (subg_acc.c:793-800) up to permutation randomness.
-    m = jnp.arange(num_walks, dtype=jnp.int32)
-    offs = m[None, :] % jnp.maximum(deg[:, None], 1)
-    w0 = shuffled_indices[start[:, None] + offs]
+    if replacement:
+        r0 = jax.random.bits(jax.random.fold_in(key, 0x5eed), (block, num_walks),
+                             dtype=jnp.uint32)
+        offs = (r0 % jnp.maximum(deg[:, None], 1).astype(jnp.uint32)
+                ).astype(jnp.int32)
+        w0 = indices[start[:, None] + offs]
+    else:
+        # Step 0: without replacement via the per-row shuffle. `m % deg`
+        # gives round-robin coverage when deg <= num_walks and the first
+        # num_walks entries of a random permutation otherwise — exactly the
+        # C semantics (subg_acc.c:793-800) up to permutation randomness.
+        m = jnp.arange(num_walks, dtype=jnp.int32)
+        offs = m[None, :] % jnp.maximum(deg[:, None], 1)
+        w0 = shuffled_indices[start[:, None] + offs]
     w0 = jnp.where(deg[:, None] > 0, w0, seeds[:, None])
 
     if num_steps == 1:
@@ -225,18 +235,40 @@ def unpack_encodings(packed: np.ndarray, num_walks: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_walks", "num_steps", "bucket"))
+    jax.jit,
+    static_argnames=("num_walks", "num_steps", "bucket", "replacement"))
 def sample_block(indptr: jax.Array, indices: jax.Array,
                  shuffled_indices: jax.Array, seeds: jax.Array,
                  key: jax.Array, *, num_walks: int, num_steps: int,
-                 bucket: int):
+                 bucket: int, replacement: bool = False):
     """Jitted per-block pipeline: walks -> sets -> counts -> packed keys.
 
     Returns (nodes [B, bucket], sizes [B], hi [B, bucket], lo [B, bucket]).
     """
     walks = _walk_block(indptr, indices, shuffled_indices, seeds,
-                        num_walks, num_steps, key)
+                        num_walks, num_steps, key, replacement=replacement)
     nodes, counts, sizes = _build_sets_block(
         seeds, walks, num_walks, num_steps, bucket)
     hi, lo = _pack_block(counts, nodes, seeds, num_walks, num_steps)
     return nodes, sizes, hi, lo
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_walks", "num_steps", "bucket", "replacement"))
+def walk_block_with_rpe(indptr: jax.Array, indices: jax.Array,
+                        shuffled_indices: jax.Array, seeds: jax.Array,
+                        key: jax.Array, *, num_walks: int, num_steps: int,
+                        bucket: int, replacement: bool = True):
+    """SUREL-v1 surface: raw walks plus per-seed relative positional
+    encodings (the C `walk_sampler`+`rpe_encoder` pair, subg_acc.c:316-389,
+    249-314). Returns (walks [B, M, S'+1] including the root at position 0,
+    nodes [B, bucket], counts [B, bucket, S'+1], sizes [B])."""
+    steps = _walk_block(indptr, indices, shuffled_indices, seeds,
+                        num_walks, num_steps, key, replacement=replacement)
+    root = jnp.broadcast_to(seeds[:, None, None],
+                            (*steps.shape[:2], 1))
+    walks = jnp.concatenate([root, steps], axis=-1)
+    nodes, counts, sizes = _build_sets_block(
+        seeds, steps, num_walks, num_steps, bucket)
+    return walks, nodes, counts, sizes
