@@ -1,5 +1,5 @@
-"""Benchmark: end-to-end training throughput (SpJoin + model fwd/bwd/update)
-on a citation2-class workload, real TPU chip.
+"""Benchmark: device-resident training throughput (SpJoin + model
+fwd/bwd/update) on a citation2-class workload, real TPU chip.
 
 Prints ONE JSON line:
   {"metric": "train_queries_per_s", "value": N, "unit": "queries/s",
@@ -7,9 +7,12 @@ Prints ONE JSON line:
 
 Baseline: the reference trains 10K queries in 0.35 s on one A100-40GB
 (paper Table 4, citation2 row; see BASELINE.md) => 28,571 queries/s.
-The workload matches that row's hyperparameters: S=4 (3 walk steps), M=100
-walks, mean aggregation, hidden 96 — on an RMAT graph standing in for the
-OGB download (hermetic environment).
+Workload matches that row: S=4 (3 walk steps), M=100 walks, mean
+aggregation, hidden 96, on an RMAT graph standing in for the OGB download
+(hermetic environment). Secondary metrics (sampling sets/s) go to stderr.
+
+The whole pipeline is device-resident (sample_gsets_device +
+DeviceTrainer): one epoch = one XLA program; the host pulls scalars only.
 """
 
 import json
@@ -21,71 +24,84 @@ import numpy as np
 BASELINE_QPS = 10_000 / 0.35  # paper Table 4: 0.35 s / 10K queries (A100)
 
 
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
+    import os
+
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_bench_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from surel_plus_tpu.graph.synthetic import rmat_graph
     from surel_plus_tpu.models import Net
-    from surel_plus_tpu.ops.join import gather_join
-    from surel_plus_tpu.ops.sampler import sample_gsets
-    from surel_plus_tpu.train import LinkPredictor, TrainConfig
+    from surel_plus_tpu.ops.sampler import sample_gsets_device
+    from surel_plus_tpu.train import TrainConfig
+    from surel_plus_tpu.train.device import DeviceTrainer
 
     num_nodes, num_edges = 250_000, 2_500_000
     num_walks, num_steps = 100, 3          # CLI S=4 => 3 walk steps
-    batch_size = 8192
+    batch_size = 4096
+    epoch_edges = 32 * batch_size          # 131,072 queries per epoch
 
-    print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
+    log(f"device: {jax.devices()[0].device_kind}")
     t0 = time.time()
     g = rmat_graph(num_nodes, num_edges, seed=0)
-    print(f"graph: N={g.num_nodes} E={g.num_edges} "
-          f"({time.time()-t0:.1f}s)", file=sys.stderr)
+    log(f"graph: N={g.num_nodes} E={g.num_edges} ({time.time()-t0:.1f}s)")
 
-    t0 = time.time()
     seeds = np.arange(num_nodes, dtype=np.int32)
-    spg = sample_gsets(g, seeds, num_walks=num_walks, num_steps=num_steps,
-                       seed=0)
+    t0 = time.time()
+    dev, u = sample_gsets_device(g, seeds, num_walks=num_walks,
+                                 num_steps=num_steps, seed=0)
+    jax.block_until_ready(dev.eidx)
+    log(f"sampling cold (incl compile): {time.time()-t0:.1f}s "
+        f"enc_unique={u}")
+    t0 = time.time()
+    dev, u = sample_gsets_device(g, seeds, num_walks=num_walks,
+                                 num_steps=num_steps, seed=1)
+    jax.block_until_ready(dev.eidx)
     dt_sample = time.time() - t0
-    sets_per_s = num_nodes / dt_sample
-    print(f"sampling: {dt_sample:.1f}s ({sets_per_s:,.0f} sets/s, "
-          f"enc_unique={spg.num_unique_enc})", file=sys.stderr)
+    log(f"sampling warm: {dt_sample:.2f}s -> {num_nodes/dt_sample:,.0f} "
+        f"sets/s")
 
     cfg = TrainConfig(batch_size=batch_size, lr=1e-3)
     model = Net(input_dim=num_steps + 1, hidden_dim=96, aggrs="mean",
                 dropout=0.1)
-    pred = LinkPredictor(model, spg, cfg)
+    trainer = DeviceTrainer(model, dev, cfg)
 
     rng = np.random.default_rng(0)
-    E = 200_000
-    edges = rng.integers(0, num_nodes, size=(2, E)).astype(np.int32)
-    labels = (rng.random(E) < 0.5).astype(np.float32)
+    edges = jnp.asarray(rng.integers(
+        0, num_nodes, size=(2, epoch_edges)).astype(np.int32))
+    labels = jnp.asarray((rng.random(epoch_edges) < 0.5
+                          ).astype(np.float32))
 
-    params, opt_state = pred.init(jax.random.PRNGKey(0),
-                                  edges[:, :batch_size])
+    params, opt_state = trainer.init(jax.random.PRNGKey(0),
+                                     np.asarray(edges[:, :batch_size]))
     key = jax.random.PRNGKey(1)
 
-    # warmup (compile)
-    def run_steps(n_steps, params, opt_state):
-        nonlocal key
-        for i in range(n_steps):
-            lo = (i * batch_size) % (E - batch_size)
-            be = jnp.asarray(edges[:, lo:lo + batch_size])
-            bl = jnp.asarray(labels[lo:lo + batch_size])
-            w = jnp.ones((batch_size,), jnp.float32)
-            key, sub = jax.random.split(key)
-            params, opt_state, loss, logits = pred._step(
-                params, opt_state, be, bl, w, sub)
-        jax.block_until_ready(loss)
-        return params, opt_state
-
-    params, opt_state = run_steps(3, params, opt_state)
-    n_timed = 40
     t0 = time.time()
-    params, opt_state = run_steps(n_timed, params, opt_state)
+    key, sub = jax.random.split(key)
+    params, opt_state, loss, auc = trainer.train_epoch(
+        params, opt_state, edges, labels, sub)
+    jax.block_until_ready(loss)
+    log(f"epoch cold (incl compile): {time.time()-t0:.1f}s "
+        f"loss={float(loss):.4f}")
+
+    n_epochs = 3
+    t0 = time.time()
+    for _ in range(n_epochs):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, auc = trainer.train_epoch(
+            params, opt_state, edges, labels, sub)
+    jax.block_until_ready(loss)
     dt = time.time() - t0
-    qps = n_timed * batch_size / dt
-    print(f"train: {n_timed} steps x {batch_size} in {dt:.2f}s",
-          file=sys.stderr)
+    qps = n_epochs * epoch_edges / dt
+    log(f"train: {n_epochs} epochs x {epoch_edges} queries in {dt:.2f}s")
 
     print(json.dumps({
         "metric": "train_queries_per_s",

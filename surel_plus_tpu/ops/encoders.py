@@ -124,10 +124,11 @@ def gather_join_scalar(nodes, values, sizes, edges):
 
 def _cross_lookup_f(nodes_a, nodes_b, vals_b):
     """Float-valued variant of join._cross_lookup."""
-    import jax
     import jax.numpy as jnp
 
-    pos = jax.vmap(jnp.searchsorted)(nodes_b, nodes_a)
+    from surel_plus_tpu.ops.walk import rows_searchsorted
+
+    pos = rows_searchsorted(nodes_b, nodes_a)
     L = nodes_b.shape[1]
     pos = jnp.minimum(pos, L - 1)
     hit = (jnp.take_along_axis(nodes_b, pos, axis=1) == nodes_a) \

@@ -49,8 +49,10 @@ def _cross_lookup(nodes_a: jax.Array, nodes_b: jax.Array,
                   eidx_b: jax.Array) -> jax.Array:
     """For each slot of row a, the enc index of that node in row b (0 if
     absent). Rows are ascending with INT32_MAX padding, so a batched binary
-    search suffices. Shapes: [B, L] each."""
-    pos = jax.vmap(jnp.searchsorted)(nodes_b, nodes_a)
+    search suffices (scatter-free, lane-vectorized). Shapes: [B, L] each."""
+    from surel_plus_tpu.ops.walk import rows_searchsorted
+
+    pos = rows_searchsorted(nodes_b, nodes_a)
     L = nodes_b.shape[1]
     pos = jnp.minimum(pos, L - 1)
     hit = (jnp.take_along_axis(nodes_b, pos, axis=1) == nodes_a) \

@@ -46,8 +46,14 @@ def walk_sampler(graph: CSRGraph, seeds: np.ndarray, num_walks: int = 100,
         bucket = num_walks * num_steps + 1
     indptr, indices = graph.device()
     root_key = jax.random.PRNGKey(seed)
-    shuffled = (indices if replacement else walk_ops.shuffle_csr_rows(
-        indptr, indices, jax.random.fold_in(root_key, 0)))
+    if replacement:
+        shuffled = indices
+    else:
+        row_ids = jnp.asarray(np.repeat(
+            np.arange(graph.num_nodes, dtype=np.int32),
+            graph.degrees().astype(np.int64)))
+        shuffled = walk_ops.shuffle_csr_rows(
+            row_ids, indices, jax.random.fold_in(root_key, 0))
 
     walks_h = np.empty((n, num_walks * (num_steps + 1)), np.int32)
     nodes_h = np.empty((n, bucket), np.int32)
@@ -129,7 +135,10 @@ def batch_sampler(graph: CSRGraph, query_nodes: np.ndarray,
         thld = (num_walks * num_steps + 1) * len(query_nodes)
     indptr, indices = graph.device()
     key = jax.random.PRNGKey(seed)
-    shuffled = walk_ops.shuffle_csr_rows(indptr, indices,
+    row_ids = jnp.asarray(np.repeat(
+        np.arange(graph.num_nodes, dtype=np.int32),
+        graph.degrees().astype(np.int64)))
+    shuffled = walk_ops.shuffle_csr_rows(row_ids, indices,
                                          jax.random.fold_in(key, 0))
     walks = walk_ops._walk_block(indptr, indices, shuffled,
                                  jnp.asarray(query_nodes), num_walks,

@@ -11,6 +11,7 @@ and an encoding of S columns (random_walks.py:77-78 passes num_steps-1).
 
 from __future__ import annotations
 
+import functools
 import logging
 import time
 from typing import Optional
@@ -55,8 +56,11 @@ def sample_gsets(
 
     t0 = time.time()
     indptr, indices = graph.device()
+    row_ids = jnp.asarray(np.repeat(
+        np.arange(graph.num_nodes, dtype=np.int32),
+        graph.degrees().astype(np.int64)))
     root = jax.random.PRNGKey(seed)
-    shuffled = walk_ops.shuffle_csr_rows(indptr, indices,
+    shuffled = walk_ops.shuffle_csr_rows(row_ids, indices,
                                          jax.random.fold_in(root, 0))
 
     nblocks = (n + block_size - 1) // block_size
@@ -107,6 +111,174 @@ def sample_gsets(
 
     return SpG(nodes=nodes_h, eidx=eidx, sizes=sizes_h, enc=enc,
                seeds=seeds, num_walks=num_walks, num_steps=num_steps)
+
+
+UINT32_SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+@functools.partial(jax.jit, static_argnames=("bucket",))
+def _dedup_device(nodes, sizes, hi, lo, *, bucket):
+    """Global encoding dedup fully on device (no host transfers).
+
+    Replaces the C hashtable pass (subg_acc.c:957-978) with three device
+    sorts over the flattened (hi, lo) keys:
+      1. sort keys (invalid slots forced to a sentinel that orders last),
+      2. flag first occurrences, prefix-sum unique ids, un-sort via a
+         second sort on original position,
+      3. compact the unique keys to the front via a third sort on
+         (flagged ? uid : MAX).
+
+    Returns (eidx [n, bucket] int32 1-based with 0 = padding,
+             uniq_hi/uniq_lo [n*bucket] uint32 — first U entries are the
+             ascending unique keys, num_unique scalar).
+    """
+    n = nodes.shape[0]
+    flat = n * bucket
+    valid = (jnp.arange(bucket, dtype=jnp.int32)[None, :]
+             < sizes[:, None]).reshape(flat)
+    hi_f = jnp.where(valid, hi.reshape(flat), UINT32_SENTINEL)
+    lo_f = jnp.where(valid, lo.reshape(flat), UINT32_SENTINEL)
+    pos = jnp.arange(flat, dtype=jnp.int32)
+
+    s_hi, s_lo, s_pos = jax.lax.sort((hi_f, lo_f, pos), num_keys=2)
+    s_valid = s_hi != UINT32_SENTINEL
+    new_key = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1])])
+    flags = new_key & s_valid
+    uid = jnp.cumsum(flags.astype(jnp.int32)) - 1
+    num_unique = flags.sum().astype(jnp.int32)
+    eidx_sorted = jnp.where(s_valid, uid + 1, 0)
+
+    # un-sort: restore original order by sorting on position
+    _, eidx_flat = jax.lax.sort((s_pos, eidx_sorted), num_keys=1)
+    eidx = eidx_flat.reshape(n, bucket)
+
+    # compact unique keys to the front, ascending
+    comp_key = jnp.where(flags, uid, jnp.int32(0x7FFFFFFF))
+    _, uniq_hi, uniq_lo = jax.lax.sort((comp_key, s_hi, s_lo), num_keys=1)
+    return eidx, uniq_hi, uniq_lo, num_unique
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_walks", "num_steps", "cap"))
+def _unpack_enc_device(uniq_hi, uniq_lo, *, num_walks, num_steps, cap):
+    """Unpack the first `cap` unique keys into a normalized encoding table
+    [cap+1, num_steps+1] float32 with the zero row prepended
+    (random_walks.py:81, main.py:174's /num_walks normalization)."""
+    shift = int(num_walks).bit_length()
+    ncol = num_steps + 1
+    hi = uniq_hi[:cap]
+    lo = uniq_lo[:cap]
+    mask = jnp.uint32((1 << shift) - 1)
+
+    def field(start_bit):
+        if start_bit + shift <= 32:
+            v = (lo >> jnp.uint32(start_bit)) & mask
+        elif start_bit >= 32:
+            v = (hi >> jnp.uint32(start_bit - 32)) & mask
+        else:
+            lo_bits = 32 - start_bit
+            v = ((lo >> jnp.uint32(start_bit))
+                 | (hi << jnp.uint32(lo_bits))) & mask
+        return v.astype(jnp.int32)
+
+    cols = [field((num_steps - j) * shift) for j in range(1, ncol)]
+    lead_bit = num_steps * shift
+    if lead_bit >= 32:
+        root = (hi >> jnp.uint32(lead_bit - 32)) & jnp.uint32(1)
+    else:
+        root = (lo >> jnp.uint32(lead_bit)) & jnp.uint32(1)
+    col0 = (root.astype(jnp.int32) * num_walks)
+    counts = jnp.stack([col0] + cols, axis=1)
+    # rows past the true unique count are sentinel garbage; they are never
+    # referenced (eidx <= U) but zero them for hygiene
+    sentinel = (hi == UINT32_SENTINEL) & (lo == UINT32_SENTINEL)
+    counts = jnp.where(sentinel[:, None], 0, counts)
+    enc = counts.astype(jnp.float32) / num_walks
+    return jnp.concatenate([jnp.zeros((1, ncol), jnp.float32), enc])
+
+
+def sample_gsets_device(
+    graph: CSRGraph,
+    seeds: np.ndarray,
+    num_walks: int,
+    num_steps: int,
+    seed: int = 111413,
+    bucket: Optional[int] = None,
+    block_size: int = DEFAULT_BLOCK,
+    enc_cap_round: int = 1 << 18,
+):
+    """Fully device-resident sampling: SpG tiles and the deduped encoding
+    table never leave HBM (host pulls one scalar: the unique count).
+
+    Returns an `SpGDevice` (enc normalized) plus num_unique. This is the
+    production TPU path; `sample_gsets` materializes to host numpy for the
+    reference-parity API.
+    """
+    from surel_plus_tpu.spg.spg import SpGDevice
+
+    seeds = np.asarray(seeds, dtype=np.int32)
+    n = len(seeds)
+    if bucket is None:
+        bucket = num_walks * num_steps + 1
+    shift = int(num_walks).bit_length()
+    if num_steps * shift + 1 > 62:
+        raise ValueError("encoding key exceeds 62 bits (sentinel reserve)")
+
+    t0 = time.time()
+    indptr, indices = graph.device()
+    row_ids = jnp.asarray(np.repeat(
+        np.arange(graph.num_nodes, dtype=np.int32),
+        graph.degrees().astype(np.int64)))
+    root = jax.random.PRNGKey(seed)
+    shuffled = walk_ops.shuffle_csr_rows(row_ids, indices,
+                                         jax.random.fold_in(root, 0))
+
+    nblocks = (n + block_size - 1) // block_size
+    nodes_b, sizes_b, hi_b, lo_b = [], [], [], []
+    for b in range(nblocks):
+        lo_i, hi_i = b * block_size, min((b + 1) * block_size, n)
+        blk = seeds[lo_i:hi_i]
+        if len(blk) < block_size:
+            blk = np.concatenate(
+                [blk, np.zeros(block_size - len(blk), np.int32)])
+        nodes, sizes, hi, lo = walk_ops.sample_block(
+            indptr, indices, shuffled, jnp.asarray(blk),
+            jax.random.fold_in(root, b + 1),
+            num_walks=num_walks, num_steps=num_steps, bucket=bucket)
+        nodes_b.append(nodes)
+        sizes_b.append(sizes)
+        hi_b.append(hi)
+        lo_b.append(lo)
+    nodes = jnp.concatenate(nodes_b)[:n] if nblocks > 1 else nodes_b[0][:n]
+    sizes = jnp.concatenate(sizes_b)[:n] if nblocks > 1 else sizes_b[0][:n]
+    hi = jnp.concatenate(hi_b)[:n] if nblocks > 1 else hi_b[0][:n]
+    lo = jnp.concatenate(lo_b)[:n] if nblocks > 1 else lo_b[0][:n]
+
+    eidx, uniq_hi, uniq_lo, num_unique = _dedup_device(
+        nodes, sizes, hi, lo, bucket=bucket)
+    u = int(num_unique)  # single scalar sync
+    cap = min(((u + enc_cap_round - 1) // enc_cap_round) * enc_cap_round,
+              n * bucket)
+    cap = max(cap, min(enc_cap_round, n * bucket))
+    enc = _unpack_enc_device(uniq_hi, uniq_lo, num_walks=num_walks,
+                             num_steps=num_steps, cap=cap)
+    dev = SpGDevice(nodes=nodes, eidx=eidx, sizes=sizes, enc=enc)
+    log.info("sample_gsets_device: n=%d bucket=%d enc_unique=%d cap=%d "
+             "dT=%.2fs", n, bucket, u, cap, time.time() - t0)
+    return dev, u
+
+
+def subg_matrix_device(graph: CSRGraph, seeds: np.ndarray,
+                       num_walks: int = 200, num_steps: int = 4,
+                       seed: int = 111413,
+                       bucket: Optional[int] = None,
+                       block_size: int = DEFAULT_BLOCK):
+    """CLI-convention wrapper over sample_gsets_device."""
+    return sample_gsets_device(graph, seeds, num_walks, num_steps - 1,
+                               seed=seed, bucket=bucket,
+                               block_size=block_size)
 
 
 def subg_matrix(graph: CSRGraph, seeds: np.ndarray, num_walks: int = 200,

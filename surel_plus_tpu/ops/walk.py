@@ -37,22 +37,43 @@ import numpy as np
 INT32_MAX = np.iinfo(np.int32).max
 
 
-def shuffle_csr_rows(indptr: jax.Array, indices: jax.Array,
+def shuffle_csr_rows(row_ids: jax.Array, indices: jax.Array,
                      key: jax.Array) -> jax.Array:
     """Randomly permute CSR `indices` within each row.
 
     One global lexicographic sort by (row_id, random_key) — the TPU-native
     replacement for per-seed Fisher-Yates partial shuffles: afterwards,
     `out[indptr[u] + j]` is the j-th element of a uniform random permutation
-    of u's neighborhood.
+    of u's neighborhood. `row_ids` is the per-edge row id (host-computed
+    np.repeat(arange(N), degrees) — cheaper than a device searchsorted).
     """
-    num_edges = indices.shape[0]
-    edge_pos = jnp.arange(num_edges, dtype=indptr.dtype)
-    row_ids = jnp.searchsorted(indptr, edge_pos, side="right").astype(
-        jnp.int32) - 1
-    rand = jax.random.bits(key, (num_edges,), dtype=jnp.uint32)
+    rand = jax.random.bits(key, indices.shape, dtype=jnp.uint32)
     _, _, shuffled = jax.lax.sort((row_ids, rand, indices), num_keys=2)
     return shuffled
+
+
+def rows_searchsorted(a: jax.Array, t: jax.Array) -> jax.Array:
+    """Batched lower-bound binary search: first index where a[b, i] >= t[b, j].
+
+    a: [B, N] sorted rows; t: [B, T] targets -> int32 [B, T].
+
+    Explicit fixed-depth search built from gathers (`take_along_axis`) —
+    scatter-free and fully lane-vectorized on TPU, unlike generic
+    scatter-based segment ops.
+    """
+    B, N = a.shape
+    depth = max(int(np.ceil(np.log2(N + 1))), 1)
+    lo = jnp.zeros(t.shape, jnp.int32)
+    hi = jnp.full(t.shape, N, jnp.int32)
+    for _ in range(depth):
+        mid = (lo + hi) >> 1
+        amid = jnp.take_along_axis(a, jnp.minimum(mid, N - 1), axis=1)
+        active = lo < hi
+        go_right = (amid < t) & active
+        new_lo = jnp.where(go_right, mid + 1, lo)
+        new_hi = jnp.where(active & ~go_right, mid, hi)
+        lo, hi = new_lo, new_hi
+    return lo
 
 
 def _walk_block(indptr: jax.Array, indices: jax.Array,
@@ -121,9 +142,9 @@ def _build_sets_block(seeds: jax.Array, walks: jax.Array, num_walks: int,
     ncol = num_steps + 1
     visits = 1 + num_walks * num_steps
 
-    # visit list: the root (column 0, weight num_walks) then every walk step
-    # (column step+1, weight 1) — matching buffer[idx, step+1]++ at
-    # subg_acc.c:830 and the root row at :751.
+    # visit list: the root (column 0) then every walk step (column step+1) —
+    # matching buffer[idx, step+1]++ at subg_acc.c:830; the root's
+    # num_walks weight (subg_acc.c:751) is added after counting.
     nodes = jnp.concatenate(
         [seeds[:, None], walks.reshape(block, num_walks * num_steps)], axis=1)
     cols = jnp.concatenate([
@@ -131,15 +152,13 @@ def _build_sets_block(seeds: jax.Array, walks: jax.Array, num_walks: int,
         jnp.broadcast_to(jnp.arange(1, ncol, dtype=jnp.int32)[None, :],
                          (num_walks, num_steps)).reshape(-1),
     ])
-    weights = jnp.concatenate([
-        jnp.full((1,), num_walks, jnp.int32),
-        jnp.ones((num_walks * num_steps,), jnp.int32),
-    ])
     cols_b = jnp.broadcast_to(cols[None, :], (block, visits))
-    weights_b = jnp.broadcast_to(weights[None, :], (block, visits))
 
-    snodes, scols, sweights = jax.lax.sort(
-        (nodes, cols_b, weights_b), dimension=1, num_keys=1)
+    # Sort visits by (node, col): afterwards the dense key
+    # compact_slot * ncol + col is monotone per row, so every aggregation
+    # below is a batched binary search — no scatters, which XLA lowers to
+    # serialized loops on TPU.
+    snodes, scols = jax.lax.sort((nodes, cols_b), dimension=1, num_keys=2)
 
     first = jnp.concatenate([
         jnp.ones((block, 1), dtype=bool),
@@ -148,30 +167,35 @@ def _build_sets_block(seeds: jax.Array, walks: jax.Array, num_walks: int,
     compact = jnp.cumsum(first, axis=1).astype(jnp.int32) - 1
     sizes = jnp.minimum(compact[:, -1] + 1, bucket)
 
-    # Landing counts: segment-sum keyed by compact_idx * ncol + col; overflow
-    # rows (compact >= bucket) route to a discard segment. The C kernel also
-    # drops overflow visits, keeping the first-discovered `bucket` nodes
-    # (subg_acc.c:826-836); we keep the `bucket` smallest node ids instead
-    # (sorted layout) — identical when bucket >= unique count, which holds for
-    # the default bucket = num_walks*num_steps+1.
-    seg = jnp.where(compact < bucket, compact * ncol + scols, bucket * ncol)
+    # Unique nodes: first visit position of slot s is lower_bound(compact, s).
+    slots = jnp.arange(bucket, dtype=jnp.int32)
+    pos = rows_searchsorted(compact, jnp.broadcast_to(
+        slots[None, :], (block, bucket)))
+    nodes_out = jnp.take_along_axis(snodes, jnp.minimum(pos, visits - 1),
+                                    axis=1)
+    valid = slots[None, :] < sizes[:, None]
+    nodes_out = jnp.where(valid, nodes_out, INT32_MAX)
 
-    def row_counts(seg_row, w_row):
-        return jax.ops.segment_sum(w_row, seg_row,
-                                   num_segments=bucket * ncol + 1)
+    # Landing counts: count of dense key d == lower_bound(d+1) -
+    # lower_bound(d); overflow visits (compact >= bucket) fall outside the
+    # target range and are dropped — the C kernel also drops overflow,
+    # keeping the first-discovered `bucket` nodes (subg_acc.c:826-836); we
+    # keep the `bucket` smallest node ids instead (sorted layout) —
+    # identical whenever bucket >= unique count, which holds for the
+    # default bucket = num_walks*num_steps+1.
+    dkey = compact * ncol + scols
+    targets = jnp.arange(bucket * ncol + 1, dtype=jnp.int32)
+    bounds = rows_searchsorted(dkey, jnp.broadcast_to(
+        targets[None, :], (block, bucket * ncol + 1)))
+    counts = (bounds[:, 1:] - bounds[:, :-1]).reshape(block, bucket, ncol)
 
-    counts = jax.vmap(row_counts)(seg, sweights)[:, :-1]
-    counts = counts.reshape(block, bucket, ncol)
-
-    # Unique node ids per compact slot (min == max within a slot).
-    def row_nodes(node_row, seg_row):
-        return jax.ops.segment_min(node_row, seg_row,
-                                   num_segments=bucket + 1)
-
-    slot = jnp.where(compact < bucket, compact, bucket)
-    nodes_out = jax.vmap(row_nodes)(snodes, slot)[:, :-1]
-    nodes_out = jnp.where(
-        jnp.arange(bucket)[None, :] < sizes[:, None], nodes_out, INT32_MAX)
+    # Root landing weight: the root visit was counted once at column 0;
+    # the C kernel stores num_walks there (subg_acc.c:751).
+    root_slot = rows_searchsorted(nodes_out, seeds[:, None])[:, 0]
+    root_onehot = (slots[None, :] == root_slot[:, None]).astype(jnp.int32)
+    col_onehot = (jnp.arange(ncol, dtype=jnp.int32) == 0).astype(jnp.int32)
+    counts = counts + (num_walks - 1) * (root_onehot[:, :, None]
+                                         * col_onehot[None, None, :])
     return nodes_out, counts, sizes
 
 

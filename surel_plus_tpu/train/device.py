@@ -1,0 +1,254 @@
+"""Device-resident training/eval: zero host round-trips inside an epoch.
+
+The host-loop engine (train/loop.py) dispatches one jitted step per batch
+and pulls logits for metrics — fine when the host-device link is fast. On
+tunneled or high-latency links (and for peak TPU utilization generally),
+per-step syncs dominate. This engine runs the WHOLE epoch as one XLA
+program: device-side shuffling, batching via `lax.scan`, the SpJoin, the
+model, the optimizer, and the epoch ROC-AUC — the host pulls two scalars
+per epoch.
+
+Evaluation likewise: batched scoring under `lax.scan`, Hits@K / MRR / AUC
+computed on device (sort-based, scatter-free).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from surel_plus_tpu.ops.join import gather_join
+from surel_plus_tpu.ops.walk import rows_searchsorted
+from surel_plus_tpu.spg.spg import SpGDevice
+from surel_plus_tpu.train.loop import TrainConfig
+
+
+def _ordered_float_key(x: jax.Array) -> jax.Array:
+    """Bitcast float32 -> uint32 preserving total order (so the exclusive
+    upper bound is key+1 exactly — float `nextafter` is unusable on TPU,
+    which flushes denormals to zero)."""
+    u = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    mask = jnp.where(u >> 31 == 1, jnp.uint32(0xFFFFFFFF),
+                     jnp.uint32(0x80000000))
+    return u ^ mask
+
+
+def device_auc(labels: jax.Array, scores: jax.Array,
+               weights: Optional[jax.Array] = None) -> jax.Array:
+    """ROC-AUC with midrank tie handling, fully on device.
+
+    Equivalent to sklearn.roc_auc_score for binary labels (the reference's
+    epoch metric, train.py:139).
+    """
+    if weights is None:
+        weights = jnp.ones_like(scores)
+    # order-preserving integer keys; excluded entries forced to the bottom
+    # and corrected out of the ranks afterwards
+    keys = jnp.where(weights > 0, _ordered_float_key(scores), jnp.uint32(0))
+    k_sorted = jnp.sort(keys)
+    n_excl = (weights <= 0).sum()
+    lb = rows_searchsorted(k_sorted[None, :], keys[None, :])[0]
+    ub = rows_searchsorted(k_sorted[None, :], (keys + 1)[None, :])[0]
+    midrank = (lb + ub + 1).astype(jnp.float32) / 2.0 - n_excl
+    w = weights > 0
+    is_pos = (labels > 0.5) & w
+    is_neg = (labels <= 0.5) & w
+    n_pos = is_pos.sum().astype(jnp.float32)
+    n_neg = is_neg.sum().astype(jnp.float32)
+    r_pos = jnp.where(is_pos, midrank, 0.0).sum()
+    return (r_pos - n_pos * (n_pos + 1) / 2.0) / jnp.maximum(
+        n_pos * n_neg, 1.0)
+
+
+def device_hits_at_k(pos: jax.Array, neg: jax.Array, k: int) -> jax.Array:
+    kth = jnp.sort(neg)[-k] if neg.shape[0] >= k else jnp.finfo(
+        pos.dtype).min
+    return (pos > kth).mean()
+
+
+def device_mrr(pos: jax.Array, neg: jax.Array) -> jax.Array:
+    """pos [n], neg [n, k]; optimistic-tie OGB ranks."""
+    rank = 1 + (neg >= pos[:, None]).sum(axis=1)
+    return (1.0 / rank).mean()
+
+
+class DeviceTrainer:
+    """One-XLA-program epochs over a device-resident SpG."""
+
+    def __init__(self, model, dev: SpGDevice, config: TrainConfig,
+                 join_fn: Callable = gather_join,
+                 feature: Optional[jax.Array] = None):
+        self.model = model
+        self.dev = dev
+        self.config = config
+        self.join_fn = join_fn
+        self.feature = feature
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(config.grad_clip),
+            optax.adam(config.lr),
+        )
+        self._epoch_cache = {}
+        self._score_cache = {}
+
+    def init(self, rng: jax.Array, example_edges) -> Tuple:
+        edges = jnp.asarray(example_edges)
+        joined = self.join_fn(self.dev.nodes, self.dev.eidx, self.dev.sizes,
+                              edges)
+        feat = self.feature[edges] if self.feature is not None else None
+        params = self.model.init(rng, self.dev.enc, joined, feat)
+        return params, self.optimizer.init(params)
+
+    # ------------------------------------------------------------------
+    def _epoch_fn(self, num_edges: int):
+        if num_edges in self._epoch_cache:
+            return self._epoch_cache[num_edges]
+        bs = self.config.batch_size
+        nsteps = (num_edges + bs - 1) // bs
+        pad = nsteps * bs - num_edges
+        dev, model, join_fn, opt = (self.dev, self.model, self.join_fn,
+                                    self.optimizer)
+        feature = self.feature
+
+        @jax.jit
+        def epoch(params, opt_state, edges, labels, key):
+            kperm, kdrop = jax.random.split(key)
+            perm = jax.random.permutation(kperm, num_edges).astype(jnp.int32)
+            perm = jnp.concatenate(
+                [perm, jnp.zeros((pad,), jnp.int32)]).reshape(nsteps, bs)
+            wmat = jnp.concatenate(
+                [jnp.ones((num_edges,), jnp.float32),
+                 jnp.zeros((pad,), jnp.float32)]).reshape(nsteps, bs)
+
+            def step(carry, xs):
+                params, opt_state, key = carry
+                idx, w = xs
+                be = edges[:, idx]
+                bl = labels[idx]
+                key, sub = jax.random.split(key)
+                joined = join_fn(dev.nodes, dev.eidx, dev.sizes, be)
+                feat = feature[be] if feature is not None else None
+
+                def loss_fn(p):
+                    logits = model.apply(p, dev.enc, joined, feat,
+                                         train=True, rngs={"dropout": sub})
+                    per = optax.sigmoid_binary_cross_entropy(logits, bl)
+                    return (per * w).sum() / jnp.maximum(w.sum(), 1.0), \
+                        logits
+
+                (loss, logits), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                preds = jax.nn.sigmoid(logits)
+                return (params, opt_state, key), (loss * w.sum(), w.sum(),
+                                                  preds)
+
+            (params, opt_state, _), (losses, counts, preds) = jax.lax.scan(
+                step, (params, opt_state, kdrop), (perm, wmat))
+            mean_loss = losses.sum() / jnp.maximum(counts.sum(), 1.0)
+            # un-shuffle predictions for the epoch AUC: sort by original
+            # index; pads get key num_edges so they land past the end
+            idx_flat = perm.reshape(-1)
+            wflat = wmat.reshape(-1)
+            sort_key = jnp.where(wflat > 0, idx_flat, jnp.int32(num_edges))
+            _, preds_ordered = jax.lax.sort(
+                (sort_key, preds.reshape(-1)), num_keys=1)
+            preds_ordered = preds_ordered[:num_edges]
+            auc = device_auc(labels, preds_ordered)
+            return params, opt_state, mean_loss, auc
+
+        self._epoch_cache[num_edges] = epoch
+        return epoch
+
+    def train_epoch(self, params, opt_state, edges_dev, labels_dev,
+                    key) -> Tuple:
+        """edges_dev: [Q, E] int32 on device; labels_dev: [E] float32.
+        Returns (params, opt_state, loss, auc) — loss/auc still device
+        scalars (pull lazily)."""
+        fn = self._epoch_fn(edges_dev.shape[1])
+        return fn(params, opt_state, edges_dev, labels_dev, key)
+
+    # ------------------------------------------------------------------
+    def _score_fn(self, num_padded: int):
+        if num_padded in self._score_cache:
+            return self._score_cache[num_padded]
+        bs = self.config.batch_size
+        assert num_padded % bs == 0
+        nsteps = num_padded // bs
+        dev, model, join_fn = self.dev, self.model, self.join_fn
+        feature = self.feature
+
+        @jax.jit
+        def score(params, edges):
+            def step(_, i):
+                be = jax.lax.dynamic_slice_in_dim(edges, i * bs, bs, axis=1)
+                joined = join_fn(dev.nodes, dev.eidx, dev.sizes, be)
+                feat = feature[be] if feature is not None else None
+                logits = model.apply(params, dev.enc, joined, feat,
+                                     train=False)
+                return None, jax.nn.sigmoid(logits)
+
+            _, out = jax.lax.scan(step, None,
+                                  jnp.arange(nsteps, dtype=jnp.int32))
+            return out.reshape(-1)
+
+        self._score_cache[num_padded] = score
+        return score
+
+    def predict(self, params, edges: np.ndarray) -> jax.Array:
+        """Score [Q, E] query edges; returns device scores [E]."""
+        bs = self.config.batch_size
+        E = edges.shape[1]
+        pad = (-E) % bs
+        if pad:
+            edges = np.concatenate(
+                [edges, np.zeros((edges.shape[0], pad), edges.dtype)],
+                axis=1)
+        scores = self._score_fn(E + pad)(params, jnp.asarray(edges))
+        return scores[:E]
+
+
+def evaluate_device(trainer: DeviceTrainer, params, inf_edge,
+                    metric: str):
+    """Device-metric version of train.loop.evaluate — same result shapes
+    (reference train.py:175-280), host pulls only final scalars."""
+    import time
+
+    def split_scores(split):
+        pos_edge, neg_edge = inf_edge[split]
+        return (trainer.predict(params, pos_edge),
+                trainer.predict(params, neg_edge))
+
+    pos_v, neg_v = split_scores("valid")
+    t0 = time.time()
+    pos_t, neg_t = split_scores("test")
+
+    if "Hits" in metric:
+        results = {}
+        for k in (10, 50, 100):
+            results[f"Hits@{k}"] = (
+                0,
+                float(device_hits_at_k(pos_v, neg_v, k)),
+                float(device_hits_at_k(pos_t, neg_t, k)),
+            )
+        return results, time.time() - t0
+    if "AUC" in metric:
+        def auc(pos, neg):
+            labels = jnp.concatenate(
+                [jnp.ones(pos.shape[0]), jnp.zeros(neg.shape[0])])
+            return float(device_auc(labels, jnp.concatenate([pos, neg])))
+        return (0, auc(pos_v, neg_v), auc(pos_t, neg_t)), time.time() - t0
+    k_v = neg_v.shape[0] // max(pos_v.shape[0], 1)
+    k_t = neg_t.shape[0] // max(pos_t.shape[0], 1)
+    return (0,
+            float(device_mrr(pos_v,
+                             neg_v[:pos_v.shape[0] * k_v].reshape(-1, k_v))),
+            float(device_mrr(pos_t,
+                             neg_t[:pos_t.shape[0] * k_t].reshape(-1, k_t))),
+            ), time.time() - t0

@@ -1,0 +1,108 @@
+"""Device-resident pipeline tests: device dedup == host dedup, device
+metrics == numpy metrics, device epochs train."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surel_plus_tpu.graph.synthetic import rmat_graph
+from surel_plus_tpu.models import Net
+from surel_plus_tpu.ops import metrics as host_metrics
+from surel_plus_tpu.ops.sampler import sample_gsets, sample_gsets_device
+from surel_plus_tpu.train import TrainConfig
+from surel_plus_tpu.train.device import (
+    DeviceTrainer, device_auc, device_hits_at_k, device_mrr,
+    evaluate_device)
+
+M, S = 16, 3
+
+
+@pytest.fixture(scope="module")
+def setup():
+    g = rmat_graph(300, 1500, seed=7)
+    seeds = np.arange(g.num_nodes, dtype=np.int32)
+    host = sample_gsets(g, seeds, num_walks=M, num_steps=S, seed=3,
+                        block_size=128)
+    dev, u = sample_gsets_device(g, seeds, num_walks=M, num_steps=S,
+                                 seed=3, block_size=128,
+                                 enc_cap_round=256)
+    return g, host, dev, u
+
+
+def test_device_matches_host_dedup(setup):
+    g, host, dev, u = setup
+    assert u == host.num_unique_enc
+    np.testing.assert_array_equal(np.asarray(dev.nodes), host.nodes)
+    np.testing.assert_array_equal(np.asarray(dev.sizes), host.sizes)
+    np.testing.assert_array_equal(np.asarray(dev.eidx), host.eidx)
+    np.testing.assert_allclose(np.asarray(dev.enc)[:u + 1],
+                               host.enc_normalized()[:u + 1], rtol=1e-6)
+
+
+def test_device_auc_matches_numpy():
+    rng = np.random.default_rng(0)
+    labels = (rng.random(500) < 0.5).astype(np.float32)
+    scores = np.round(rng.random(500).astype(np.float32), 2)  # ties
+    want = host_metrics.roc_auc(labels, scores)
+    got = float(device_auc(jnp.asarray(labels), jnp.asarray(scores)))
+    assert got == pytest.approx(want, abs=1e-5)
+    # weighted variant ignores masked entries
+    w = np.ones(500, np.float32)
+    w[400:] = 0
+    want2 = host_metrics.roc_auc(labels[:400], scores[:400])
+    got2 = float(device_auc(jnp.asarray(labels), jnp.asarray(scores),
+                            jnp.asarray(w)))
+    assert got2 == pytest.approx(want2, abs=1e-5)
+
+
+def test_device_hits_mrr():
+    pos = np.array([0.9, 0.5, 0.1], np.float32)
+    neg = np.array([0.8, 0.6, 0.4, 0.2], np.float32)
+    got = float(device_hits_at_k(jnp.asarray(pos), jnp.asarray(neg), 2))
+    assert got == pytest.approx(host_metrics.hits_at_k(pos, neg, 2))
+    posm = np.array([0.9, 0.3], np.float32)
+    negm = np.array([[0.5, 0.4], [0.5, 0.4]], np.float32)
+    got = float(device_mrr(jnp.asarray(posm), jnp.asarray(negm)))
+    assert got == pytest.approx(host_metrics.mrr(posm, negm))
+
+
+def test_device_trainer_epoch(setup):
+    g, host, dev, u = setup
+    cfg = TrainConfig(batch_size=128, lr=3e-3)
+    model = Net(input_dim=S + 1, hidden_dim=32, aggrs="mean", dropout=0.1)
+    trainer = DeviceTrainer(model, dev, cfg)
+
+    rng = np.random.default_rng(0)
+    E = 700  # not a multiple of batch -> padded tail exercised
+    pos_u = rng.integers(0, 300, E // 2)
+    edges = np.stack([
+        np.concatenate([pos_u, rng.integers(0, 300, E - E // 2)]),
+        np.concatenate([pos_u, rng.integers(0, 300, E - E // 2)]),
+    ]).astype(np.int32)
+    # make positives self-pairs (trivially learnable signal: identical sets)
+    labels = np.concatenate([np.ones(E // 2), np.zeros(E - E // 2)]
+                            ).astype(np.float32)
+
+    params, opt_state = trainer.init(jax.random.PRNGKey(0), edges[:, :128])
+    ed, ld = jnp.asarray(edges), jnp.asarray(labels)
+    losses, aucs = [], []
+    key = jax.random.PRNGKey(1)
+    for i in range(8):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, auc = trainer.train_epoch(
+            params, opt_state, ed, ld, sub)
+        losses.append(float(loss))
+        aucs.append(float(auc))
+    assert losses[-1] < losses[0]
+    assert aucs[-1] > 0.8, aucs
+
+    # device evaluation end-to-end
+    inf = {"valid": (edges[:, :64], edges[:, 350:414]),
+           "test": (edges[:, 64:128], edges[:, 414:478])}
+    res, _ = evaluate_device(trainer, params, inf, "Hits@50")
+    assert set(res) == {"Hits@10", "Hits@50", "Hits@100"}
+    (auc_t, auc_v, auc_te), _ = evaluate_device(trainer, params, inf, "AUC")
+    assert 0.0 <= auc_te <= 1.0
+    mrr_res, _ = evaluate_device(trainer, params, inf, "MRR")
+    assert 0.0 < mrr_res[2] <= 1.0
