@@ -39,6 +39,12 @@ class Net(nn.Module):
     dropout: float = 0.1
     use_feature: bool = False
     aggrs: str = "mean"     # mean | lstm | attn
+    # 'table': embed the unique encoding table once, join via gathers —
+    #   cheapest forward, but the backward is an embedding scatter-add.
+    # 'direct': apply the MLP to gathered rows under remat — more MXU
+    #   FLOPs, zero scatters in the backward (enc is a constant). Same
+    #   parameter tree; pick per-phase (train: direct, inference: table).
+    embed_mode: str = "table"
 
     @nn.compact
     def __call__(self, enc_table: jax.Array, joined: JoinedBatch,
@@ -48,13 +54,17 @@ class Net(nn.Module):
         joined: JoinedBatch with eidx [2, B, L, 2], mask [2, B, L].
         feature: optional raw features [2, B, x_dim].
         Returns logits [B]."""
-        pe = MLP2(self.hidden_dim, self.hidden_dim, name="pe_embedding")
+        mlp_cls = nn.remat(MLP2) if self.embed_mode == "direct" else MLP2
+        pe = mlp_cls(self.hidden_dim, self.hidden_dim, name="pe_embedding")
         if jnp.issubdtype(joined.eidx.dtype, jnp.integer):
-            # LP path: embed unique encodings once; join == gather + add
-            # (model.py:78's pe_embedding(x).sum(dim=-2), algebraically
-            # rewritten over the deduped table).
-            table = pe(enc_table)                          # [U+1, h]
-            pair = table[joined.eidx]                      # [2, B, L, 2, h]
+            if self.embed_mode == "direct":
+                pair = pe(enc_table[joined.eidx])          # [2, B, L, 2, h]
+            else:
+                # LP path: embed unique encodings once; join == gather +
+                # add (model.py:78's pe_embedding(x).sum(dim=-2),
+                # algebraically rewritten over the deduped table).
+                table = pe(enc_table)                      # [U+1, h]
+                pair = table[joined.eidx]                  # [2, B, L, 2, h]
         else:
             # scalar metric path (PPR/SPD/DEG, encode=None in train.py:39-43):
             # joined.eidx carries float value pairs [2, B, L, 2].

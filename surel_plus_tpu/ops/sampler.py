@@ -28,6 +28,27 @@ log = logging.getLogger(__name__)
 
 DEFAULT_BLOCK = 65536  # C NMAX blocking, subg_acc.c:12
 
+_DEVICE_GRAPH_CACHE = {}
+
+
+def device_graph(graph: CSRGraph):
+    """Upload a CSR graph (indptr, indices, per-edge row ids) to HBM once
+    per graph object — host->device uploads are expensive and the arrays
+    are immutable."""
+    key = id(graph)
+    hit = _DEVICE_GRAPH_CACHE.get(key)
+    if hit is not None:
+        return hit
+    indptr, indices = graph.device()
+    row_ids = jnp.asarray(np.repeat(
+        np.arange(graph.num_nodes, dtype=np.int32),
+        graph.degrees().astype(np.int64)))
+    out = (indptr, indices, row_ids)
+    if len(_DEVICE_GRAPH_CACHE) > 8:
+        _DEVICE_GRAPH_CACHE.clear()
+    _DEVICE_GRAPH_CACHE[key] = out
+    return out
+
 
 def sample_gsets(
     graph: CSRGraph,
@@ -49,16 +70,10 @@ def sample_gsets(
     n = len(seeds)
     if bucket is None:
         bucket = num_walks * num_steps + 1
-    shift = int(num_walks).bit_length()
-    if num_steps * shift + 1 > 64:
-        raise ValueError("encoding key exceeds 64 bits; reduce num_walks "
-                         "or num_steps (matches C assertion subg_acc.c:913)")
+    walk_ops.enc_field_layout(num_walks, num_steps)  # validate bit budget
 
     t0 = time.time()
-    indptr, indices = graph.device()
-    row_ids = jnp.asarray(np.repeat(
-        np.arange(graph.num_nodes, dtype=np.int32),
-        graph.degrees().astype(np.int64)))
+    indptr, indices, row_ids = device_graph(graph)
     root = jax.random.PRNGKey(seed)
     shuffled = walk_ops.shuffle_csr_rows(row_ids, indices,
                                          jax.random.fold_in(root, 0))
@@ -166,25 +181,22 @@ def _unpack_enc_device(uniq_hi, uniq_lo, *, num_walks, num_steps, cap):
     """Unpack the first `cap` unique keys into a normalized encoding table
     [cap+1, num_steps+1] float32 with the zero row prepended
     (random_walks.py:81, main.py:174's /num_walks normalization)."""
-    shift = int(num_walks).bit_length()
+    shift, starts, lead_bit = walk_ops.enc_field_layout(num_walks,
+                                                        num_steps)
     ncol = num_steps + 1
     hi = uniq_hi[:cap]
     lo = uniq_lo[:cap]
     mask = jnp.uint32((1 << shift) - 1)
 
     def field(start_bit):
-        if start_bit + shift <= 32:
+        # fields never straddle the word boundary (enc_field_layout)
+        if start_bit < 32:
             v = (lo >> jnp.uint32(start_bit)) & mask
-        elif start_bit >= 32:
-            v = (hi >> jnp.uint32(start_bit - 32)) & mask
         else:
-            lo_bits = 32 - start_bit
-            v = ((lo >> jnp.uint32(start_bit))
-                 | (hi << jnp.uint32(lo_bits))) & mask
+            v = (hi >> jnp.uint32(start_bit - 32)) & mask
         return v.astype(jnp.int32)
 
-    cols = [field((num_steps - j) * shift) for j in range(1, ncol)]
-    lead_bit = num_steps * shift
+    cols = [field(starts[j]) for j in range(1, ncol)]
     if lead_bit >= 32:
         root = (hi >> jnp.uint32(lead_bit - 32)) & jnp.uint32(1)
     else:
@@ -222,15 +234,10 @@ def sample_gsets_device(
     n = len(seeds)
     if bucket is None:
         bucket = num_walks * num_steps + 1
-    shift = int(num_walks).bit_length()
-    if num_steps * shift + 1 > 62:
-        raise ValueError("encoding key exceeds 62 bits (sentinel reserve)")
+    walk_ops.enc_field_layout(num_walks, num_steps)  # validate bit budget
 
     t0 = time.time()
-    indptr, indices = graph.device()
-    row_ids = jnp.asarray(np.repeat(
-        np.arange(graph.num_nodes, dtype=np.int32),
-        graph.degrees().astype(np.int64)))
+    indptr, indices, row_ids = device_graph(graph)
     root = jax.random.PRNGKey(seed)
     shuffled = walk_ops.shuffle_csr_rows(row_ids, indices,
                                          jax.random.fold_in(root, 0))

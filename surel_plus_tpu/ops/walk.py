@@ -37,6 +37,41 @@ import numpy as np
 INT32_MAX = np.iinfo(np.int32).max
 
 
+def enc_field_layout(num_walks: int, num_steps: int):
+    """Bit layout for the packed landing-count key.
+
+    The C reference packs columns 1..S contiguously with SHIFT bits each
+    plus a LEAD root bit (subg_acc.c:900-955). We keep SHIFT and the
+    semantic content but pad field starts so no field straddles the 32-bit
+    word boundary: the key then lives in a (hi, lo) uint32 pair AND a
+    segment's key equals the *modular uint32 sum* of its per-visit field
+    contributions — which turns landing-count accumulation into a cumsum +
+    boundary-difference (scatter-free, carry-free).
+
+    Returns (shift, starts, lead_bit) with starts[j] = bit of column j
+    (column S at the bottom, column 1 highest — same significance order as
+    the C layout).
+    """
+    shift = int(num_walks).bit_length()
+    starts = {}
+    bit = 0
+    for j in range(num_steps, 0, -1):
+        if bit < 32 < bit + shift:
+            bit = 32  # pad past the word boundary
+        starts[j] = bit
+        bit += shift
+    if bit < 32 < bit + 1:
+        bit = 32
+    lead_bit = bit
+    total = lead_bit + 1
+    if total > 62:  # reserve top bits for the dedup sentinel
+        raise ValueError(
+            f"encoding key needs {total} bits > 62 "
+            f"(num_walks={num_walks}, num_steps={num_steps}); the C "
+            f"reference has the same 64-bit limit (subg_acc.c:905-914)")
+    return shift, starts, lead_bit
+
+
 def shuffle_csr_rows(row_ids: jax.Array, indices: jax.Array,
                      key: jax.Array) -> jax.Array:
     """Randomly permute CSR `indices` within each row.
@@ -202,40 +237,20 @@ def _build_sets_block(seeds: jax.Array, walks: jax.Array, num_walks: int,
 def _pack_block(counts: jax.Array, nodes: jax.Array, seeds: jax.Array,
                 num_walks: int, num_steps: int
                 ) -> Tuple[jax.Array, jax.Array]:
-    """Bit-pack each landing-count row into a (hi, lo) uint32 pair.
-
-    Field layout mirrors the C bit-hash (subg_acc.c:900-955): columns
-    1..num_steps packed most-significant-first with SHIFT = bit_length(M)
-    bits each, and a LEAD bit above them marking root rows so roots stay
-    unique under global dedup. Column 0 is excluded from the key — it is
-    num_walks for roots and 0 otherwise, so (LEAD, cols 1..S) determines it.
-    """
-    shift = int(num_walks).bit_length()  # == 32 - clz(num_walks)
-    total_bits = num_steps * shift + 1
-    if total_bits > 64:
-        raise ValueError(
-            f"encoding key needs {total_bits} bits > 64 "
-            f"(num_walks={num_walks}, num_steps={num_steps})")
-
+    """Bit-pack each landing-count row into a (hi, lo) uint32 pair using
+    `enc_field_layout` (the C bit-hash semantics, subg_acc.c:900-955:
+    columns 1..S as fields plus a LEAD root bit; column 0 is determined by
+    LEAD, being num_walks for roots and 0 otherwise)."""
+    shift, starts, lead_bit = enc_field_layout(num_walks, num_steps)
     lo = jnp.zeros(counts.shape[:2], jnp.uint32)
     hi = jnp.zeros(counts.shape[:2], jnp.uint32)
-
-    def or_field(lo, hi, value_u32, start_bit):
-        if start_bit < 32:
-            lo = lo | (value_u32 << start_bit)
-            spill = 32 - start_bit
-            if start_bit + shift > 32:
-                hi = hi | (value_u32 >> spill)
-        else:
-            hi = hi | (value_u32 << (start_bit - 32))
-        return lo, hi
-
     for j in range(1, num_steps + 1):
-        start_bit = (num_steps - j) * shift
-        lo, hi = or_field(lo, hi, counts[:, :, j].astype(jnp.uint32),
-                          start_bit)
+        v = counts[:, :, j].astype(jnp.uint32)
+        if starts[j] < 32:
+            lo = lo | (v << starts[j])
+        else:
+            hi = hi | (v << (starts[j] - 32))
     is_root = (nodes == seeds[:, None]).astype(jnp.uint32)
-    lead_bit = num_steps * shift
     if lead_bit < 32:
         lo = lo | (is_root << lead_bit)
     else:
@@ -246,16 +261,105 @@ def _pack_block(counts: jax.Array, nodes: jax.Array, seeds: jax.Array,
 def unpack_encodings(packed: np.ndarray, num_walks: int,
                      num_steps: int) -> np.ndarray:
     """Invert the bit-pack: uint64 keys -> int32 [n, num_steps+1] counts."""
-    shift = int(num_walks).bit_length()
+    shift, starts, lead_bit = enc_field_layout(num_walks, num_steps)
     mask = np.uint64((1 << shift) - 1)
     ncol = num_steps + 1
     out = np.zeros((len(packed), ncol), dtype=np.int32)
-    root = (packed >> np.uint64(num_steps * shift)) & np.uint64(1)
+    root = (packed >> np.uint64(lead_bit)) & np.uint64(1)
     out[:, 0] = root.astype(np.int32) * num_walks
     for j in range(1, ncol):
-        out[:, j] = ((packed >> np.uint64((num_steps - j) * shift))
-                     & mask).astype(np.int32)
+        out[:, j] = ((packed >> np.uint64(starts[j])) & mask).astype(
+            np.int32)
     return out
+
+
+def _build_sets_packed_block(seeds: jax.Array, walks: jax.Array,
+                             num_walks: int, num_steps: int, bucket: int
+                             ) -> Tuple[jax.Array, jax.Array, jax.Array,
+                                        jax.Array]:
+    """Fused set building + key packing, gather-light.
+
+    Skips the dense [bucket, ncol] counts tensor entirely: per-visit field
+    contributions (1 << start_bit[col]) are prefix-summed along the sorted
+    visit list (uint32 modular — exact per segment because fields never
+    straddle the word boundary and never overflow their width), and each
+    set slot's packed key is the boundary difference. Cost per block: one
+    two-key sort, one slot binary search, two cumsums, O(1) gathers —
+    versus the dense-target search's ~bucket*ncol*log(V) gathers.
+
+    Returns (nodes [B, bucket], sizes [B], hi [B, bucket], lo [B, bucket]).
+    """
+    block = seeds.shape[0]
+    visits = 1 + num_walks * num_steps
+    shift, starts, lead_bit = enc_field_layout(num_walks, num_steps)
+
+    nodes = jnp.concatenate(
+        [seeds[:, None], walks.reshape(block, num_walks * num_steps)],
+        axis=1)
+    # static per-visit columns and packed field contributions (root visit:
+    # col 0 -> no field)
+    cols_np = np.concatenate([
+        np.zeros((1,), np.int32),
+        np.broadcast_to(np.arange(1, num_steps + 1, dtype=np.int32)[None, :],
+                        (num_walks, num_steps)).reshape(-1),
+    ])
+    lo_contrib = np.zeros(visits, np.uint32)
+    hi_contrib = np.zeros(visits, np.uint32)
+    for j in range(1, num_steps + 1):
+        sel = cols_np == j
+        if starts[j] < 32:
+            lo_contrib[sel] = np.uint32(1) << np.uint32(starts[j])
+        else:
+            hi_contrib[sel] = np.uint32(1) << np.uint32(starts[j] - 32)
+
+    # sort visits by node id, carrying the field contributions
+    snodes, s_lo, s_hi = jax.lax.sort(
+        (nodes,
+         jnp.broadcast_to(jnp.asarray(lo_contrib)[None, :],
+                          (block, visits)),
+         jnp.broadcast_to(jnp.asarray(hi_contrib)[None, :],
+                          (block, visits))),
+        dimension=1, num_keys=1)
+
+    first = jnp.concatenate([
+        jnp.ones((block, 1), dtype=bool),
+        snodes[:, 1:] != snodes[:, :-1],
+    ], axis=1)
+    compact = jnp.cumsum(first, axis=1).astype(jnp.int32) - 1
+    sizes = jnp.minimum(compact[:, -1] + 1, bucket)
+
+    slots = jnp.arange(bucket, dtype=jnp.int32)
+    pos = rows_searchsorted(compact, jnp.broadcast_to(
+        slots[None, :], (block, bucket)))            # slot start positions
+    nodes_out = jnp.take_along_axis(snodes, jnp.minimum(pos, visits - 1),
+                                    axis=1)
+    valid = slots[None, :] < sizes[:, None]
+    nodes_out = jnp.where(valid, nodes_out, INT32_MAX)
+
+    # segmented sums via modular prefix differences
+    pre_lo = jnp.cumsum(s_lo, axis=1, dtype=jnp.uint32)
+    pre_hi = jnp.cumsum(s_hi, axis=1, dtype=jnp.uint32)
+    # end position of slot s = start of slot s+1 (last slot ends at V)
+    pos_next = jnp.concatenate(
+        [pos[:, 1:], jnp.full((block, 1), visits, jnp.int32)], axis=1)
+    pos_next = jnp.where(valid, pos_next, pos)  # empty slots -> zero sum
+
+    def prefix_at(pre, p):
+        # inclusive prefix before position p (p==0 -> 0)
+        v = jnp.take_along_axis(pre, jnp.maximum(p - 1, 0), axis=1)
+        return jnp.where(p > 0, v, jnp.uint32(0))
+
+    lo_keys = prefix_at(pre_lo, pos_next) - prefix_at(pre_lo, pos)
+    hi_keys = prefix_at(pre_hi, pos_next) - prefix_at(pre_hi, pos)
+
+    is_root = (nodes_out == seeds[:, None]).astype(jnp.uint32)
+    if lead_bit < 32:
+        lo_keys = lo_keys | (is_root << lead_bit)
+    else:
+        hi_keys = hi_keys | (is_root << (lead_bit - 32))
+    lo_keys = jnp.where(valid, lo_keys, 0)
+    hi_keys = jnp.where(valid, hi_keys, 0)
+    return nodes_out, sizes, hi_keys, lo_keys
 
 
 @functools.partial(
@@ -271,10 +375,8 @@ def sample_block(indptr: jax.Array, indices: jax.Array,
     """
     walks = _walk_block(indptr, indices, shuffled_indices, seeds,
                         num_walks, num_steps, key, replacement=replacement)
-    nodes, counts, sizes = _build_sets_block(
-        seeds, walks, num_walks, num_steps, bucket)
-    hi, lo = _pack_block(counts, nodes, seeds, num_walks, num_steps)
-    return nodes, sizes, hi, lo
+    return _build_sets_packed_block(seeds, walks, num_walks, num_steps,
+                                    bucket)
 
 
 @functools.partial(

@@ -83,8 +83,16 @@ class DeviceTrainer:
 
     def __init__(self, model, dev: SpGDevice, config: TrainConfig,
                  join_fn: Callable = gather_join,
-                 feature: Optional[jax.Array] = None):
-        self.model = model
+                 feature: Optional[jax.Array] = None,
+                 train_embed_mode: str = "direct"):
+        self.model = model  # used for scoring (table mode by default)
+        # training uses the scatter-free backward unless told otherwise;
+        # the parameter tree is identical across modes
+        if hasattr(model, "embed_mode") and \
+                model.embed_mode != train_embed_mode:
+            self.train_model = model.clone(embed_mode=train_embed_mode)
+        else:
+            self.train_model = model
         self.dev = dev
         self.config = config
         self.join_fn = join_fn
@@ -98,10 +106,16 @@ class DeviceTrainer:
 
     def init(self, rng: jax.Array, example_edges) -> Tuple:
         edges = jnp.asarray(example_edges)
-        joined = self.join_fn(self.dev.nodes, self.dev.eidx, self.dev.sizes,
-                              edges)
-        feat = self.feature[edges] if self.feature is not None else None
-        params = self.model.init(rng, self.dev.enc, joined, feat)
+        dev, join_fn, feature, model = (self.dev, self.join_fn,
+                                        self.feature, self.model)
+
+        @jax.jit
+        def _init(rng, edges):
+            joined = join_fn(dev.nodes, dev.eidx, dev.sizes, edges)
+            feat = feature[edges] if feature is not None else None
+            return model.init(rng, dev.enc, joined, feat)
+
+        params = _init(rng, edges)
         return params, self.optimizer.init(params)
 
     # ------------------------------------------------------------------
@@ -111,8 +125,8 @@ class DeviceTrainer:
         bs = self.config.batch_size
         nsteps = (num_edges + bs - 1) // bs
         pad = nsteps * bs - num_edges
-        dev, model, join_fn, opt = (self.dev, self.model, self.join_fn,
-                                    self.optimizer)
+        dev, model, join_fn, opt = (self.dev, self.train_model,
+                                    self.join_fn, self.optimizer)
         feature = self.feature
 
         @jax.jit
