@@ -59,15 +59,9 @@ def main():
     dev, u = sample_gsets_device(g, seeds, num_walks=num_walks,
                                  num_steps=num_steps, seed=0)
     jax.block_until_ready(dev.eidx)
-    log(f"sampling cold (incl compile): {time.time()-t0:.1f}s "
-        f"enc_unique={u}")
-    t0 = time.time()
-    dev, u = sample_gsets_device(g, seeds, num_walks=num_walks,
-                                 num_steps=num_steps, seed=1)
-    jax.block_until_ready(dev.eidx)
     dt_sample = time.time() - t0
-    log(f"sampling warm: {dt_sample:.2f}s -> {num_nodes/dt_sample:,.0f} "
-        f"sets/s")
+    log(f"sampling (incl compile): {dt_sample:.1f}s enc_unique={u} "
+        f"-> {num_nodes/dt_sample:,.0f} sets/s incl-compile")
 
     cfg = TrainConfig(batch_size=batch_size, lr=1e-3)
     model = Net(input_dim=num_steps + 1, hidden_dim=96, aggrs="mean",
@@ -83,22 +77,21 @@ def main():
     params, opt_state = trainer.init(jax.random.PRNGKey(0),
                                      np.asarray(edges[:, :batch_size]))
     key = jax.random.PRNGKey(1)
+    n_epochs = 8
 
     t0 = time.time()
     key, sub = jax.random.split(key)
-    params, opt_state, loss, auc = trainer.train_epoch(
-        params, opt_state, edges, labels, sub)
-    jax.block_until_ready(loss)
-    log(f"epoch cold (incl compile): {time.time()-t0:.1f}s "
-        f"loss={float(loss):.4f}")
+    params, opt_state, losses, aucs = trainer.fit(
+        params, opt_state, edges, labels, sub, n_epochs)
+    jax.block_until_ready(losses)
+    log(f"fit cold (incl compile): {time.time()-t0:.1f}s "
+        f"loss={float(losses[-1]):.4f}")
 
-    n_epochs = 3
     t0 = time.time()
-    for _ in range(n_epochs):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss, auc = trainer.train_epoch(
-            params, opt_state, edges, labels, sub)
-    jax.block_until_ready(loss)
+    key, sub = jax.random.split(key)
+    params, opt_state, losses, aucs = trainer.fit(
+        params, opt_state, edges, labels, sub, n_epochs)
+    jax.block_until_ready(losses)
     dt = time.time() - t0
     qps = n_epochs * epoch_edges / dt
     log(f"train: {n_epochs} epochs x {epoch_edges} queries in {dt:.2f}s")

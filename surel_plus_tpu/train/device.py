@@ -119,9 +119,9 @@ class DeviceTrainer:
         return params, self.optimizer.init(params)
 
     # ------------------------------------------------------------------
-    def _epoch_fn(self, num_edges: int):
-        if num_edges in self._epoch_cache:
-            return self._epoch_cache[num_edges]
+    def _epoch_body(self, num_edges: int):
+        """Traceable single-epoch body shared by the per-epoch and
+        multi-epoch programs."""
         bs = self.config.batch_size
         nsteps = (num_edges + bs - 1) // bs
         pad = nsteps * bs - num_edges
@@ -129,7 +129,6 @@ class DeviceTrainer:
                                     self.join_fn, self.optimizer)
         feature = self.feature
 
-        @jax.jit
         def epoch(params, opt_state, edges, labels, key):
             kperm, kdrop = jax.random.split(key)
             perm = jax.random.permutation(kperm, num_edges).astype(jnp.int32)
@@ -177,8 +176,13 @@ class DeviceTrainer:
             auc = device_auc(labels, preds_ordered)
             return params, opt_state, mean_loss, auc
 
-        self._epoch_cache[num_edges] = epoch
         return epoch
+
+    def _epoch_fn(self, num_edges: int):
+        if num_edges not in self._epoch_cache:
+            self._epoch_cache[num_edges] = jax.jit(
+                self._epoch_body(num_edges))
+        return self._epoch_cache[num_edges]
 
     def train_epoch(self, params, opt_state, edges_dev, labels_dev,
                     key) -> Tuple:
@@ -186,6 +190,36 @@ class DeviceTrainer:
         Returns (params, opt_state, loss, auc) — loss/auc still device
         scalars (pull lazily)."""
         fn = self._epoch_fn(edges_dev.shape[1])
+        return fn(params, opt_state, edges_dev, labels_dev, key)
+
+    def _fit_fn(self, num_edges: int, n_epochs: int):
+        key_c = (num_edges, n_epochs)
+        if key_c in self._epoch_cache:
+            return self._epoch_cache[key_c]
+        body = self._epoch_body(num_edges)
+
+        @jax.jit
+        def fit(params, opt_state, edges, labels, key):
+            def one(carry, ekey):
+                params, opt_state = carry
+                params, opt_state, loss, auc = body(params, opt_state,
+                                                    edges, labels, ekey)
+                return (params, opt_state), (loss, auc)
+
+            keys = jax.random.split(key, n_epochs)
+            (params, opt_state), (losses, aucs) = jax.lax.scan(
+                one, (params, opt_state), keys)
+            return params, opt_state, losses, aucs
+
+        self._epoch_cache[key_c] = fit
+        return fit
+
+    def fit(self, params, opt_state, edges_dev, labels_dev, key,
+            n_epochs: int):
+        """Run n_epochs as ONE device program (amortizes dispatch latency
+        on high-latency links). Returns (params, opt_state,
+        losses [n_epochs], aucs [n_epochs])."""
+        fn = self._fit_fn(edges_dev.shape[1], n_epochs)
         return fn(params, opt_state, edges_dev, labels_dev, key)
 
     # ------------------------------------------------------------------

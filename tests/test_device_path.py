@@ -97,6 +97,12 @@ def test_device_trainer_epoch(setup):
     assert losses[-1] < losses[0]
     assert aucs[-1] > 0.8, aucs
 
+    # multi-epoch fit program agrees in kind: loss keeps decreasing
+    p2, o2, losses, aucs = trainer.fit(params, opt_state, ed, ld,
+                                       jax.random.PRNGKey(5), 3)
+    assert losses.shape == (3,) and aucs.shape == (3,)
+    assert float(losses[-1]) <= float(losses[0]) + 1e-3
+
     # device evaluation end-to-end
     inf = {"valid": (edges[:, :64], edges[:, 350:414]),
            "test": (edges[:, 64:128], edges[:, 414:478])}
