@@ -29,7 +29,11 @@ def log(msg):
 
 
 def main():
+    import logging
     import os
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                        format="%(relativeCreated)8.0fms %(message)s")
 
     import jax
 

@@ -44,16 +44,13 @@ def walk_sampler(graph: CSRGraph, seeds: np.ndarray, num_walks: int = 100,
     n = len(seeds)
     if bucket is None:
         bucket = num_walks * num_steps + 1
-    indptr, indices = graph.device()
+    from surel_plus_tpu.ops.sampler import (device_graph,
+                                            shuffled_indices_for)
+
+    indptr, indices = device_graph(graph)
     root_key = jax.random.PRNGKey(seed)
-    if replacement:
-        shuffled = indices
-    else:
-        row_ids = jnp.asarray(np.repeat(
-            np.arange(graph.num_nodes, dtype=np.int32),
-            graph.degrees().astype(np.int64)))
-        shuffled = walk_ops.shuffle_csr_rows(
-            row_ids, indices, jax.random.fold_in(root_key, 0))
+    shuffled = (indices if replacement
+                else shuffled_indices_for(graph, seed))
 
     walks_h = np.empty((n, num_walks * (num_steps + 1)), np.int32)
     nodes_h = np.empty((n, bucket), np.int32)
@@ -133,13 +130,12 @@ def batch_sampler(graph: CSRGraph, query_nodes: np.ndarray,
     query_nodes = np.asarray(query_nodes, dtype=np.int32)
     if thld is None:
         thld = (num_walks * num_steps + 1) * len(query_nodes)
-    indptr, indices = graph.device()
+    from surel_plus_tpu.ops.sampler import (device_graph,
+                                            shuffled_indices_for)
+
+    indptr, indices = device_graph(graph)
     key = jax.random.PRNGKey(seed)
-    row_ids = jnp.asarray(np.repeat(
-        np.arange(graph.num_nodes, dtype=np.int32),
-        graph.degrees().astype(np.int64)))
-    shuffled = walk_ops.shuffle_csr_rows(row_ids, indices,
-                                         jax.random.fold_in(key, 0))
+    shuffled = shuffled_indices_for(graph, seed)
     walks = walk_ops._walk_block(indptr, indices, shuffled,
                                  jnp.asarray(query_nodes), num_walks,
                                  num_steps, jax.random.fold_in(key, 1))

@@ -29,24 +29,39 @@ log = logging.getLogger(__name__)
 DEFAULT_BLOCK = 65536  # C NMAX blocking, subg_acc.c:12
 
 _DEVICE_GRAPH_CACHE = {}
+_SHUFFLE_CACHE = {}
 
 
 def device_graph(graph: CSRGraph):
-    """Upload a CSR graph (indptr, indices, per-edge row ids) to HBM once
-    per graph object — host->device uploads are expensive and the arrays
-    are immutable."""
+    """Upload a CSR graph (indptr, indices) to HBM once per graph object —
+    host->device uploads are expensive and the arrays are immutable."""
     key = id(graph)
     hit = _DEVICE_GRAPH_CACHE.get(key)
     if hit is not None:
         return hit
-    indptr, indices = graph.device()
-    row_ids = jnp.asarray(np.repeat(
-        np.arange(graph.num_nodes, dtype=np.int32),
-        graph.degrees().astype(np.int64)))
-    out = (indptr, indices, row_ids)
+    out = graph.device()
     if len(_DEVICE_GRAPH_CACHE) > 8:
         _DEVICE_GRAPH_CACHE.clear()
     _DEVICE_GRAPH_CACHE[key] = out
+    return out
+
+
+def shuffled_indices_for(graph: CSRGraph, seed: int):
+    """Per-row random permutation of CSR indices, computed host-side
+    (np.lexsort over (row, rand) — one pass, no device compile) and
+    uploaded once per (graph, seed)."""
+    key = (id(graph), seed)
+    hit = _SHUFFLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    rng = np.random.default_rng(seed)
+    row_ids = np.repeat(np.arange(graph.num_nodes, dtype=np.int64),
+                        graph.degrees().astype(np.int64))
+    order = np.lexsort((rng.random(graph.num_edges), row_ids))
+    out = jnp.asarray(graph.indices[order])
+    if len(_SHUFFLE_CACHE) > 8:
+        _SHUFFLE_CACHE.clear()
+    _SHUFFLE_CACHE[key] = out
     return out
 
 
@@ -73,10 +88,9 @@ def sample_gsets(
     walk_ops.enc_field_layout(num_walks, num_steps)  # validate bit budget
 
     t0 = time.time()
-    indptr, indices, row_ids = device_graph(graph)
+    indptr, indices = device_graph(graph)
     root = jax.random.PRNGKey(seed)
-    shuffled = walk_ops.shuffle_csr_rows(row_ids, indices,
-                                         jax.random.fold_in(root, 0))
+    shuffled = shuffled_indices_for(graph, seed)
 
     nblocks = (n + block_size - 1) // block_size
     nodes_h = np.empty((n, bucket), dtype=np.int32)
@@ -129,6 +143,94 @@ def sample_gsets(
 
 
 UINT32_SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+def _pad_axis1(x, width, fill):
+    if x.shape[1] == width:
+        return x
+    return jnp.concatenate(
+        [x, jnp.full((x.shape[0], width - x.shape[1]), fill, x.dtype)],
+        axis=1)
+
+
+def _dedup_sorted_rows(h, l):
+    """Row-sort (hi, lo) pairs, sentinel out duplicates, re-sort to
+    compact uniques to the row front. All ops vectorize across rows."""
+    h, l = jax.lax.sort((h, l), dimension=1, num_keys=2)
+    dup = (h[:, 1:] == h[:, :-1]) & (l[:, 1:] == l[:, :-1])
+    first = jnp.concatenate(
+        [jnp.ones((h.shape[0], 1), bool), ~dup], axis=1)
+    h = jnp.where(first, h, UINT32_SENTINEL)
+    l = jnp.where(first, l, UINT32_SENTINEL)
+    return jax.lax.sort((h, l), dimension=1, num_keys=2)
+
+
+def _table_searchsorted_pair(th, tl, kh, kl):
+    """Lower-bound binary search of (kh, kl) pairs in the shared sorted
+    table (th, tl) — flat gathers, no scatters."""
+    W = th.shape[0]
+    depth = max(int(np.ceil(np.log2(W + 1))), 1)
+    lo = jnp.zeros(kh.shape, jnp.int32)
+    hi_b = jnp.full(kh.shape, W, jnp.int32)
+    for _ in range(depth):
+        mid = (lo + hi_b) >> 1
+        safe = jnp.minimum(mid, W - 1)
+        mh = jnp.take(th, safe)
+        ml = jnp.take(tl, safe)
+        less = (mh < kh) | ((mh == kh) & (ml < kl))
+        active = lo < hi_b
+        go = less & active
+        lo = jnp.where(go, mid + 1, lo)
+        hi_b = jnp.where(active & ~go, mid, hi_b)
+    return lo
+
+
+@functools.partial(jax.jit, static_argnames=("bucket", "width"))
+def _dedup_device_tree(nodes, sizes, hi, lo, *, bucket, width):
+    """Global encoding dedup via a 2-D merge tree — every sort is a row
+    sort (vectorized compare-exchange across rows), since XLA lowers 1-D
+    sorts on TPU to effectively serial sorting networks.
+
+    Exploits SUREL+'s core observation that unique structural encodings are
+    few (paper §3.2's compression): the merge tree truncates each merged
+    row to `width` unique keys and reports overflow if the global unique
+    count ever exceeds it (caller retries wider or falls back).
+
+    Returns (eidx [n, bucket], table_hi [width], table_lo [width],
+    num_unique, overflow).
+    """
+    n = hi.shape[0]
+    slot = jnp.arange(bucket, dtype=jnp.int32)[None, :]
+    valid = slot < sizes[:, None]
+    h = jnp.where(valid, hi, UINT32_SENTINEL)
+    l = jnp.where(valid, lo, UINT32_SENTINEL)
+    h = _pad_axis1(h, width, UINT32_SENTINEL)
+    l = _pad_axis1(l, width, UINT32_SENTINEL)
+
+    h, l = _dedup_sorted_rows(h, l)
+    overflow = jnp.zeros((), bool)
+    rows = n
+    while rows > 1:
+        if rows % 2 == 1:
+            h = jnp.concatenate(
+                [h, jnp.full((1, width), UINT32_SENTINEL, h.dtype)])
+            l = jnp.concatenate(
+                [l, jnp.full((1, width), UINT32_SENTINEL, l.dtype)])
+            rows += 1
+        h = h.reshape(rows // 2, 2 * width)
+        l = l.reshape(rows // 2, 2 * width)
+        h, l = _dedup_sorted_rows(h, l)
+        overflow = overflow | jnp.any(h[:, width] != UINT32_SENTINEL)
+        h = h[:, :width]
+        l = l[:, :width]
+        rows //= 2
+
+    table_hi, table_lo = h[0], l[0]
+    num_unique = (table_hi != UINT32_SENTINEL).sum().astype(jnp.int32)
+
+    pos = _table_searchsorted_pair(table_hi, table_lo, hi, lo)
+    eidx = jnp.where(valid, pos + 1, 0)
+    return eidx, table_hi, table_lo, num_unique, overflow
 
 
 @functools.partial(jax.jit, static_argnames=("bucket",))
@@ -219,11 +321,14 @@ def sample_gsets_device(
     seed: int = 111413,
     bucket: Optional[int] = None,
     block_size: int = DEFAULT_BLOCK,
-    enc_cap_round: int = 1 << 18,
+    enc_width: int = 4096,
+    max_enc_width: int = 1 << 16,
 ):
     """Fully device-resident sampling: SpG tiles and the deduped encoding
     table never leave HBM (host pulls one scalar: the unique count).
 
+    The dedup uses the 2-D merge tree sized `enc_width` (widened x4 on
+    overflow up to `max_enc_width`, then falls back to the flat path).
     Returns an `SpGDevice` (enc normalized) plus num_unique. This is the
     production TPU path; `sample_gsets` materializes to host numpy for the
     reference-parity API.
@@ -237,11 +342,12 @@ def sample_gsets_device(
     walk_ops.enc_field_layout(num_walks, num_steps)  # validate bit budget
 
     t0 = time.time()
-    indptr, indices, row_ids = device_graph(graph)
+    indptr, indices = device_graph(graph)
     root = jax.random.PRNGKey(seed)
-    shuffled = walk_ops.shuffle_csr_rows(row_ids, indices,
-                                         jax.random.fold_in(root, 0))
+    shuffled = shuffled_indices_for(graph, seed)
 
+    log.info("sample_gsets_device: graph+shuffle ready %.1fs",
+             time.time() - t0)
     nblocks = (n + block_size - 1) // block_size
     nodes_b, sizes_b, hi_b, lo_b = [], [], [], []
     for b in range(nblocks):
@@ -254,6 +360,8 @@ def sample_gsets_device(
             indptr, indices, shuffled, jnp.asarray(blk),
             jax.random.fold_in(root, b + 1),
             num_walks=num_walks, num_steps=num_steps, bucket=bucket)
+        log.info("sample_gsets_device: block %d/%d dispatched %.1fs",
+                 b + 1, nblocks, time.time() - t0)
         nodes_b.append(nodes)
         sizes_b.append(sizes)
         hi_b.append(hi)
@@ -263,17 +371,36 @@ def sample_gsets_device(
     hi = jnp.concatenate(hi_b)[:n] if nblocks > 1 else hi_b[0][:n]
     lo = jnp.concatenate(lo_b)[:n] if nblocks > 1 else lo_b[0][:n]
 
-    eidx, uniq_hi, uniq_lo, num_unique = _dedup_device(
-        nodes, sizes, hi, lo, bucket=bucket)
-    u = int(num_unique)  # single scalar sync
-    cap = min(((u + enc_cap_round - 1) // enc_cap_round) * enc_cap_round,
-              n * bucket)
-    cap = max(cap, min(enc_cap_round, n * bucket))
-    enc = _unpack_enc_device(uniq_hi, uniq_lo, num_walks=num_walks,
-                             num_steps=num_steps, cap=cap)
+    width = max(enc_width, bucket)
+    while True:
+        eidx, table_hi, table_lo, num_unique, overflow = _dedup_device_tree(
+            nodes, sizes, hi, lo, bucket=bucket, width=width)
+        over = bool(overflow)  # scalar sync
+        if not over:
+            u = int(num_unique)
+            break
+        if width >= max_enc_width:
+            log.warning("sample_gsets_device: unique encodings exceed "
+                        "%d; falling back to flat dedup", width)
+            eidx, uniq_hi, uniq_lo, num_unique = _dedup_device(
+                nodes, sizes, hi, lo, bucket=bucket)
+            u = int(num_unique)
+            cap = min(((u + 4095) // 4096) * 4096, n * bucket)
+            enc = _unpack_enc_device(uniq_hi, uniq_lo, num_walks=num_walks,
+                                     num_steps=num_steps, cap=cap)
+            dev = SpGDevice(nodes=nodes, eidx=eidx, sizes=sizes, enc=enc)
+            log.info("sample_gsets_device(flat): n=%d enc_unique=%d "
+                     "dT=%.2fs", n, u, time.time() - t0)
+            return dev, u
+        width *= 4
+        log.info("sample_gsets_device: widening unique table to %d", width)
+    log.info("sample_gsets_device: dedup synced %.1fs (u=%d)",
+             time.time() - t0, u)
+    enc = _unpack_enc_device(table_hi, table_lo, num_walks=num_walks,
+                             num_steps=num_steps, cap=width)
     dev = SpGDevice(nodes=nodes, eidx=eidx, sizes=sizes, enc=enc)
-    log.info("sample_gsets_device: n=%d bucket=%d enc_unique=%d cap=%d "
-             "dT=%.2fs", n, bucket, u, cap, time.time() - t0)
+    log.info("sample_gsets_device: n=%d bucket=%d enc_unique=%d width=%d "
+             "dT=%.2fs", n, bucket, u, width, time.time() - t0)
     return dev, u
 
 

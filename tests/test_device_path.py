@@ -25,8 +25,7 @@ def setup():
     host = sample_gsets(g, seeds, num_walks=M, num_steps=S, seed=3,
                         block_size=128)
     dev, u = sample_gsets_device(g, seeds, num_walks=M, num_steps=S,
-                                 seed=3, block_size=128,
-                                 enc_cap_round=256)
+                                 seed=3, block_size=128, enc_width=64)
     return g, host, dev, u
 
 
