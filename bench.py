@@ -44,14 +44,16 @@ def main():
 
     from surel_plus_tpu.graph.synthetic import rmat_graph
     from surel_plus_tpu.models import Net
-    from surel_plus_tpu.ops.sampler import sample_gsets_device
+    from surel_plus_tpu.ops.sampler import sample_gsets_device_keys
     from surel_plus_tpu.train import TrainConfig
-    from surel_plus_tpu.train.device import DeviceTrainer
+    from surel_plus_tpu.train.device import trainer_from_keys
 
-    num_nodes, num_edges = 250_000, 2_500_000
+    small = bool(int(os.environ.get("BENCH_SMALL", "0")))
+    num_nodes = 100_000 if small else 250_000
+    num_edges = 10 * num_nodes
     num_walks, num_steps = 100, 3          # CLI S=4 => 3 walk steps
     batch_size = 4096
-    epoch_edges = 32 * batch_size          # 131,072 queries per epoch
+    epoch_edges = (8 if small else 32) * batch_size
 
     log(f"device: {jax.devices()[0].device_kind}")
     t0 = time.time()
@@ -60,17 +62,25 @@ def main():
 
     seeds = np.arange(num_nodes, dtype=np.int32)
     t0 = time.time()
-    dev, u = sample_gsets_device(g, seeds, num_walks=num_walks,
-                                 num_steps=num_steps, seed=0)
-    jax.block_until_ready(dev.eidx)
+    spgk = sample_gsets_device_keys(g, seeds, num_walks=num_walks,
+                                    num_steps=num_steps, seed=0)
+    # force real completion: pull one scalar derived from the result
+    _ = int(spgk.sizes.max())
     dt_sample = time.time() - t0
-    log(f"sampling (incl compile): {dt_sample:.1f}s enc_unique={u} "
+    log(f"sampling (incl compile): {dt_sample:.1f}s "
         f"-> {num_nodes/dt_sample:,.0f} sets/s incl-compile")
+    t0 = time.time()
+    spgk = sample_gsets_device_keys(g, seeds, num_walks=num_walks,
+                                    num_steps=num_steps, seed=1)
+    _ = int(spgk.sizes.max())
+    dt_sample = time.time() - t0
+    log(f"sampling warm: {dt_sample:.1f}s "
+        f"-> {num_nodes/dt_sample:,.0f} sets/s")
 
     cfg = TrainConfig(batch_size=batch_size, lr=1e-3)
     model = Net(input_dim=num_steps + 1, hidden_dim=96, aggrs="mean",
-                dropout=0.1)
-    trainer = DeviceTrainer(model, dev, cfg)
+                dropout=0.1, dtype="bfloat16")
+    trainer = trainer_from_keys(model, spgk, cfg)
 
     rng = np.random.default_rng(0)
     edges = jnp.asarray(rng.integers(
@@ -87,15 +97,16 @@ def main():
     key, sub = jax.random.split(key)
     params, opt_state, losses, aucs = trainer.fit(
         params, opt_state, edges, labels, sub, n_epochs)
-    jax.block_until_ready(losses)
-    log(f"fit cold (incl compile): {time.time()-t0:.1f}s "
-        f"loss={float(losses[-1]):.4f}")
+    # float() pulls force real completion (block_until_ready does not
+    # synchronize through the remote-device transport)
+    log(f"fit cold (incl compile): loss={float(losses[-1]):.4f} "
+        f"{time.time()-t0:.1f}s")
 
     t0 = time.time()
     key, sub = jax.random.split(key)
     params, opt_state, losses, aucs = trainer.fit(
         params, opt_state, edges, labels, sub, n_epochs)
-    jax.block_until_ready(losses)
+    _ = float(losses[-1])
     dt = time.time() - t0
     qps = n_epochs * epoch_edges / dt
     log(f"train: {n_epochs} epochs x {epoch_edges} queries in {dt:.2f}s")

@@ -345,9 +345,9 @@ def synthetic_hetero_data(num_authors: int = 300, num_papers: int = 500,
                  "target_node_neg": rng.integers(
                      0, n, (len(test_e), neg_per_query))},
     }
+    kw.setdefault("rng", np.random.default_rng(seed))
     return DEHDataset(train_e, obsrv, split_edge, n,
-                      node_types=["author", "paper"],
-                      rng=np.random.default_rng(seed), **kw)
+                      node_types=["author", "paper"], **kw)
 
 
 class DEHyperDataset:

@@ -23,17 +23,21 @@ class MLP2(nn.Module):
     """Linear -> ReLU -> Linear, xavier-normal weights.
 
     The reference's `pe_embedding` / `feature_embedding`
-    (model.py:54-57, model_horder.py:49-50).
+    (model.py:54-57, model_horder.py:49-50). `dtype` selects the compute
+    precision (bfloat16 on TPU: 4x MXU rate; params stay float32).
     """
 
     hidden_dim: int
     out_dim: int
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden_dim, kernel_init=xavier_normal)(x)
+        x = nn.Dense(self.hidden_dim, kernel_init=xavier_normal,
+                     dtype=self.dtype)(x)
         x = nn.relu(x)
-        return nn.Dense(self.out_dim, kernel_init=xavier_normal)(x)
+        return nn.Dense(self.out_dim, kernel_init=xavier_normal,
+                        dtype=self.dtype)(x)
 
 
 class MergeLayer(nn.Module):
@@ -44,13 +48,17 @@ class MergeLayer(nn.Module):
     hidden_dim: int
     out_dim: int = 1
     dropout: float = 0.1
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xs, *, train: bool = False):
         x = jnp.concatenate(xs, axis=-1)
-        h = nn.relu(nn.Dense(self.hidden_dim, kernel_init=xavier_normal)(x))
+        h = nn.relu(nn.Dense(self.hidden_dim, kernel_init=xavier_normal,
+                             dtype=self.dtype)(x))
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        return nn.Dense(self.out_dim, kernel_init=xavier_normal)(h)
+        # final scorer layer in float32 for a stable logit
+        return nn.Dense(self.out_dim, kernel_init=xavier_normal)(
+            h.astype(jnp.float32))
 
 
 def masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:

@@ -45,6 +45,8 @@ class Net(nn.Module):
     #   FLOPs, zero scatters in the backward (enc is a constant). Same
     #   parameter tree; pick per-phase (train: direct, inference: table).
     embed_mode: str = "table"
+    # compute precision for the hot layers; params stay float32
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, enc_table: jax.Array, joined: JoinedBatch,
@@ -54,8 +56,10 @@ class Net(nn.Module):
         joined: JoinedBatch with eidx [2, B, L, 2], mask [2, B, L].
         feature: optional raw features [2, B, x_dim].
         Returns logits [B]."""
+        cdtype = jnp.dtype(self.dtype)
         mlp_cls = nn.remat(MLP2) if self.embed_mode == "direct" else MLP2
-        pe = mlp_cls(self.hidden_dim, self.hidden_dim, name="pe_embedding")
+        pe = mlp_cls(self.hidden_dim, self.hidden_dim, dtype=cdtype,
+                     name="pe_embedding")
         if jnp.issubdtype(joined.eidx.dtype, jnp.integer):
             if self.embed_mode == "direct":
                 pair = pe(enc_table[joined.eidx])          # [2, B, L, 2, h]
@@ -65,6 +69,10 @@ class Net(nn.Module):
                 # algebraically rewritten over the deduped table).
                 table = pe(enc_table)                      # [U+1, h]
                 pair = table[joined.eidx]                  # [2, B, L, 2, h]
+        elif joined.eidx.ndim == 5:
+            # packed-key path: joined.eidx carries unpacked encoding
+            # feature pairs [2, B, L, 2, ncol] (join.py:make_keys_join).
+            pair = pe(joined.eidx)
         else:
             # scalar metric path (PPR/SPD/DEG, encode=None in train.py:39-43):
             # joined.eidx carries float value pairs [2, B, L, 2].
@@ -81,16 +89,18 @@ class Net(nn.Module):
             agg = masked_mean(x, joined.mask)
         else:
             raise ValueError(f"unknown aggregator {self.aggrs!r}")
+        agg = agg.astype(jnp.float32)
         xl, xr = agg[0], agg[1]                            # [B, h]
 
         if self.use_feature:
             if feature is None:
                 raise ValueError("use_feature=True requires features")
-            femb = MLP2(self.hidden_dim, self.hidden_dim,
+            femb = MLP2(self.hidden_dim, self.hidden_dim, dtype=cdtype,
                         name="feature_embedding")(feature)  # [2, B, h]
-            xl = jnp.concatenate([xl, femb[0]], axis=-1)
-            xr = jnp.concatenate([xr, femb[1]], axis=-1)
+            xl = jnp.concatenate([xl, femb[0].astype(jnp.float32)], axis=-1)
+            xr = jnp.concatenate([xr, femb[1].astype(jnp.float32)], axis=-1)
 
         score = MergeLayer(self.hidden_dim, self.out_dim, self.dropout,
+                           dtype=cdtype,
                            name="affinity_score")([xl, xr], train=train)
         return score.squeeze(-1)

@@ -95,6 +95,63 @@ def gather_join(nodes: jax.Array, eidx: jax.Array, sizes: jax.Array,
     return JoinedBatch(eidx=eidx_out, mask=mask, sizes=rows_sizes)
 
 
+def unpack_key_features(khi: jax.Array, klo: jax.Array, num_walks: int,
+                        num_steps: int) -> jax.Array:
+    """Unpack packed landing-count keys into normalized float features
+    [..., num_steps+1] (counts / num_walks, the main.py:174 normalization).
+    Elementwise shifts and masks — fuses into the consuming matmul."""
+    from surel_plus_tpu.ops.walk import enc_field_layout
+
+    shift, starts, lead_bit = enc_field_layout(num_walks, num_steps)
+    mask = jnp.uint32((1 << shift) - 1)
+
+    def field(start_bit):
+        if start_bit < 32:
+            return (klo >> jnp.uint32(start_bit)) & mask
+        return (khi >> jnp.uint32(start_bit - 32)) & mask
+
+    if lead_bit < 32:
+        root = (klo >> jnp.uint32(lead_bit)) & jnp.uint32(1)
+    else:
+        root = (khi >> jnp.uint32(lead_bit - 32)) & jnp.uint32(1)
+    cols = [root * jnp.uint32(num_walks)] + [
+        field(starts[j]) for j in range(1, num_steps + 1)]
+    feats = jnp.stack(cols, axis=-1).astype(jnp.float32)
+    return feats / num_walks
+
+
+def make_keys_join(num_walks: int, num_steps: int):
+    """Returns a join function over an SpGKeys layout producing float
+    feature pairs directly (JoinedBatch.eidx [2, B, L, 2, ncol] float32):
+    the anchor slot's unpacked encoding paired with the partner's (zero
+    vector if absent — key 0 unpacks to the zero row)."""
+
+    def join(nodes, khi, klo, sizes, edges):
+        rows_nodes = nodes[edges]      # [2, B, L]
+        rows_hi = khi[edges]
+        rows_lo = klo[edges]
+        rows_sizes = sizes[edges]
+        nu, nv = rows_nodes[0], rows_nodes[1]
+        cross_hi_u = _cross_lookup(nu, nv, rows_hi[1])
+        cross_lo_u = _cross_lookup(nu, nv, rows_lo[1])
+        cross_hi_v = _cross_lookup(nv, nu, rows_hi[0])
+        cross_lo_v = _cross_lookup(nv, nu, rows_lo[0])
+        khi_pairs = jnp.stack([
+            jnp.stack([rows_hi[0], cross_hi_u], axis=-1),
+            jnp.stack([rows_hi[1], cross_hi_v], axis=-1),
+        ])                              # [2, B, L, 2]
+        klo_pairs = jnp.stack([
+            jnp.stack([rows_lo[0], cross_lo_u], axis=-1),
+            jnp.stack([rows_lo[1], cross_lo_v], axis=-1),
+        ])
+        feats = unpack_key_features(khi_pairs, klo_pairs, num_walks,
+                                    num_steps)
+        mask = rows_nodes != jnp.int32(INT32_MAX)
+        return JoinedBatch(eidx=feats, mask=mask, sizes=rows_sizes)
+
+    return join
+
+
 def hgather_join(nodes: jax.Array, eidx: jax.Array, sizes: jax.Array,
                  hedges: jax.Array) -> JoinedBatch:
     """Higher-order join for 3-node queries (u, v, w), reproducing `hgather`

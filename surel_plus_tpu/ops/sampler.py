@@ -204,27 +204,35 @@ def _dedup_device_tree(nodes, sizes, hi, lo, *, bucket, width):
     valid = slot < sizes[:, None]
     h = jnp.where(valid, hi, UINT32_SENTINEL)
     l = jnp.where(valid, lo, UINT32_SENTINEL)
-    h = _pad_axis1(h, width, UINT32_SENTINEL)
-    l = _pad_axis1(l, width, UINT32_SENTINEL)
 
     h, l = _dedup_sorted_rows(h, l)
     overflow = jnp.zeros((), bool)
-    rows = n
+    rows, w = n, bucket
+    FAN = 8  # 8-way merges keep the unrolled tree shallow (compile size)
     while rows > 1:
-        if rows % 2 == 1:
+        fan = min(FAN, rows)
+        if rows % fan:
+            pad_rows = fan - rows % fan
             h = jnp.concatenate(
-                [h, jnp.full((1, width), UINT32_SENTINEL, h.dtype)])
+                [h, jnp.full((pad_rows, w), UINT32_SENTINEL, h.dtype)])
             l = jnp.concatenate(
-                [l, jnp.full((1, width), UINT32_SENTINEL, l.dtype)])
-            rows += 1
-        h = h.reshape(rows // 2, 2 * width)
-        l = l.reshape(rows // 2, 2 * width)
+                [l, jnp.full((pad_rows, w), UINT32_SENTINEL, l.dtype)])
+            rows += pad_rows
+        h = h.reshape(rows // fan, fan * w)
+        l = l.reshape(rows // fan, fan * w)
         h, l = _dedup_sorted_rows(h, l)
-        overflow = overflow | jnp.any(h[:, width] != UINT32_SENTINEL)
-        h = h[:, :width]
-        l = l[:, :width]
-        rows //= 2
+        # keep rows at most `width` wide: memory stays ~n*bucket while the
+        # kept width grows toward the target as rows shrink
+        w_next = min(fan * w, width)
+        if w_next < fan * w:
+            overflow = overflow | jnp.any(h[:, w_next] != UINT32_SENTINEL)
+            h = h[:, :w_next]
+            l = l[:, :w_next]
+        rows //= fan
+        w = w_next
 
+    h = _pad_axis1(h, width, UINT32_SENTINEL)
+    l = _pad_axis1(l, width, UINT32_SENTINEL)
     table_hi, table_lo = h[0], l[0]
     num_unique = (table_hi != UINT32_SENTINEL).sum().astype(jnp.int32)
 
@@ -402,6 +410,78 @@ def sample_gsets_device(
     log.info("sample_gsets_device: n=%d bucket=%d enc_unique=%d width=%d "
              "dT=%.2fs", n, bucket, u, width, time.time() - t0)
     return dev, u
+
+
+def sample_gsets_device_keys(
+    graph: CSRGraph,
+    seeds: np.ndarray,
+    num_walks: int,
+    num_steps: int,
+    seed: int = 111413,
+    bucket: Optional[int] = None,
+    block_size: int = DEFAULT_BLOCK,
+):
+    """Device-resident sampling WITHOUT the dedup/table stage: the SpG
+    stores each set slot's packed landing-count key (hi, lo uint32), and
+    joins unpack count features on the fly (ops/join.py:unpack_key_features).
+
+    Rationale: the reference compresses encodings to fit GPU memory and cut
+    host->GPU traffic (subg_acc.c:900-1009); on TPU the unpack is five
+    shift-and-mask ops fused into the join, so the compressed table buys
+    nothing on the hot path — global dedup remains available
+    (sample_gsets_device) for the table embed mode and for compression
+    statistics.
+
+    Returns SpGKeys(nodes, khi, klo, sizes).
+    """
+    from surel_plus_tpu.spg.spg import SpGKeys
+
+    seeds = np.asarray(seeds, dtype=np.int32)
+    n = len(seeds)
+    if bucket is None:
+        bucket = num_walks * num_steps + 1
+    walk_ops.enc_field_layout(num_walks, num_steps)  # validate bit budget
+
+    t0 = time.time()
+    indptr, indices = device_graph(graph)
+    root = jax.random.PRNGKey(seed)
+    shuffled = shuffled_indices_for(graph, seed)
+
+    nblocks = (n + block_size - 1) // block_size
+    nodes_b, sizes_b, hi_b, lo_b = [], [], [], []
+    for b in range(nblocks):
+        lo_i, hi_i = b * block_size, min((b + 1) * block_size, n)
+        blk = seeds[lo_i:hi_i]
+        if len(blk) < block_size:
+            blk = np.concatenate(
+                [blk, np.zeros(block_size - len(blk), np.int32)])
+        nodes, sizes, hi, lo = walk_ops.sample_block(
+            indptr, indices, shuffled, jnp.asarray(blk),
+            jax.random.fold_in(root, b + 1),
+            num_walks=num_walks, num_steps=num_steps, bucket=bucket)
+        nodes_b.append(nodes)
+        sizes_b.append(sizes)
+        hi_b.append(hi)
+        lo_b.append(lo)
+    cat = (lambda xs: jnp.concatenate(xs)[:n]) if nblocks > 1 \
+        else (lambda xs: xs[0][:n])
+    out = SpGKeys(nodes=cat(nodes_b), khi=cat(hi_b), klo=cat(lo_b),
+                  sizes=cat(sizes_b), num_walks=num_walks,
+                  num_steps=num_steps)
+    log.info("sample_gsets_device_keys: n=%d bucket=%d dispatched %.2fs",
+             n, bucket, time.time() - t0)
+    return out
+
+
+def subg_matrix_device_keys(graph: CSRGraph, seeds: np.ndarray,
+                            num_walks: int = 200, num_steps: int = 4,
+                            seed: int = 111413,
+                            bucket: Optional[int] = None,
+                            block_size: int = DEFAULT_BLOCK):
+    """CLI-convention wrapper over sample_gsets_device_keys."""
+    return sample_gsets_device_keys(graph, seeds, num_walks, num_steps - 1,
+                                    seed=seed, bucket=bucket,
+                                    block_size=block_size)
 
 
 def subg_matrix_device(graph: CSRGraph, seeds: np.ndarray,

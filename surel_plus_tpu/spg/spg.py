@@ -102,3 +102,21 @@ class SpGDevice:
     eidx: "object"
     sizes: "object"
     enc: "object"
+
+
+@dataclasses.dataclass
+class SpGKeys:
+    """Device-resident SpG carrying packed landing-count keys per slot
+    instead of encoding-table indices: joins unpack count features on the
+    fly (five shift-and-masks), skipping the global dedup stage entirely.
+
+    khi/klo: uint32 [n, L], the enc_field_layout bit-packs; key 0 == the
+    zero encoding (absent), matching the reference's prepended zero row.
+    """
+
+    nodes: "object"   # int32 [n, L] ascending, pad INT32_MAX
+    khi: "object"     # uint32 [n, L]
+    klo: "object"     # uint32 [n, L]
+    sizes: "object"   # int32 [n]
+    num_walks: int
+    num_steps: int

@@ -39,6 +39,44 @@ def _ordered_float_key(x: jax.Array) -> jax.Array:
     return u ^ mask
 
 
+def riffle_permutation(key: jax.Array, rows: int, cols: int,
+                       rounds: int = 2) -> jax.Array:
+    """Pseudorandom permutation of [0, rows*cols) as a [rows, cols] batch
+    matrix, built from row-wise and column-wise key sorts only (1-D sorts
+    serialize on TPU). Two riffle rounds mix thoroughly; this replaces
+    `jax.random.permutation` for epoch shuffling (divergence from the
+    reference's uniform shuffle: batch composition is pseudorandom rather
+    than uniformly random — gradient-equivalent for SGD purposes)."""
+    idx = jnp.arange(rows * cols, dtype=jnp.int32).reshape(rows, cols)
+    for r in range(rounds):
+        key, k1, k2 = jax.random.split(key, 3)
+        rk = jax.random.bits(k1, (rows, cols), dtype=jnp.uint32)
+        _, idx = jax.lax.sort((rk, idx), dimension=1, num_keys=1)
+        ck = jax.random.bits(k2, (rows, cols), dtype=jnp.uint32)
+        _, idx = jax.lax.sort((ck, idx), dimension=0, num_keys=1)
+    return idx
+
+
+def device_auc_hist(pos_hist: jax.Array, neg_hist: jax.Array) -> jax.Array:
+    """AUC from per-bin positive/negative score histograms (trapezoidal /
+    midrank-within-bin). Used for the epoch training AUC — sort-free;
+    accuracy ~1/(2*bins). Evaluation metrics use the exact device_auc."""
+    n_pos = pos_hist.sum()
+    n_neg = neg_hist.sum()
+    neg_below = jnp.cumsum(neg_hist) - neg_hist
+    wins = (pos_hist * (neg_below + 0.5 * neg_hist)).sum()
+    return wins / jnp.maximum(n_pos * n_neg, 1.0)
+
+
+def score_histogram(scores: jax.Array, weights: jax.Array,
+                    bins: int) -> jax.Array:
+    """Weighted histogram of sigmoid scores in [0, 1] via broadcast
+    comparisons (no scatter)."""
+    b = jnp.clip((scores * bins).astype(jnp.int32), 0, bins - 1)
+    onehot = (b[:, None] == jnp.arange(bins, dtype=jnp.int32)[None, :])
+    return (onehot * weights[:, None]).sum(axis=0)
+
+
 def device_auc(labels: jax.Array, scores: jax.Array,
                weights: Optional[jax.Array] = None) -> jax.Array:
     """ROC-AUC with midrank tie handling, fully on device.
@@ -129,17 +167,18 @@ class DeviceTrainer:
                                     self.join_fn, self.optimizer)
         feature = self.feature
 
+        auc_bins = 512
+
         def epoch(params, opt_state, edges, labels, key):
             kperm, kdrop = jax.random.split(key)
-            perm = jax.random.permutation(kperm, num_edges).astype(jnp.int32)
-            perm = jnp.concatenate(
-                [perm, jnp.zeros((pad,), jnp.int32)]).reshape(nsteps, bs)
-            wmat = jnp.concatenate(
-                [jnp.ones((num_edges,), jnp.float32),
-                 jnp.zeros((pad,), jnp.float32)]).reshape(nsteps, bs)
+            # pseudorandom batches via riffle shuffle (sort-free on the
+            # flat axis); padded ids (>= num_edges) carry weight 0
+            perm = riffle_permutation(kperm, nsteps, bs)
+            wmat = (perm < num_edges).astype(jnp.float32)
+            perm = jnp.minimum(perm, num_edges - 1)
 
             def step(carry, xs):
-                params, opt_state, key = carry
+                params, opt_state, key, pos_h, neg_h = carry
                 idx, w = xs
                 be = edges[:, idx]
                 bl = labels[idx]
@@ -159,21 +198,19 @@ class DeviceTrainer:
                 updates, opt_state = opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 preds = jax.nn.sigmoid(logits)
-                return (params, opt_state, key), (loss * w.sum(), w.sum(),
-                                                  preds)
+                # accumulate the epoch AUC as score histograms (sort-free)
+                pos_h = pos_h + score_histogram(preds, w * bl, auc_bins)
+                neg_h = neg_h + score_histogram(preds, w * (1.0 - bl),
+                                                auc_bins)
+                return (params, opt_state, key, pos_h, neg_h), \
+                    (loss * w.sum(), w.sum())
 
-            (params, opt_state, _), (losses, counts, preds) = jax.lax.scan(
-                step, (params, opt_state, kdrop), (perm, wmat))
+            hist0 = jnp.zeros((auc_bins,), jnp.float32)
+            (params, opt_state, _, pos_h, neg_h), (losses, counts) = \
+                jax.lax.scan(step, (params, opt_state, kdrop, hist0, hist0),
+                             (perm, wmat))
             mean_loss = losses.sum() / jnp.maximum(counts.sum(), 1.0)
-            # un-shuffle predictions for the epoch AUC: sort by original
-            # index; pads get key num_edges so they land past the end
-            idx_flat = perm.reshape(-1)
-            wflat = wmat.reshape(-1)
-            sort_key = jnp.where(wflat > 0, idx_flat, jnp.int32(num_edges))
-            _, preds_ordered = jax.lax.sort(
-                (sort_key, preds.reshape(-1)), num_keys=1)
-            preds_ordered = preds_ordered[:num_edges]
-            auc = device_auc(labels, preds_ordered)
+            auc = device_auc_hist(pos_h, neg_h)
             return params, opt_state, mean_loss, auc
 
         return epoch
@@ -260,6 +297,23 @@ class DeviceTrainer:
                 axis=1)
         scores = self._score_fn(E + pad)(params, jnp.asarray(edges))
         return scores[:E]
+
+
+def trainer_from_keys(model, spgk, config: TrainConfig,
+                      feature=None) -> DeviceTrainer:
+    """DeviceTrainer over a packed-key SpG (SpGKeys): the join unpacks
+    landing-count features on the fly, no dedup/table stage."""
+    from surel_plus_tpu.ops.join import make_keys_join
+
+    join = make_keys_join(spgk.num_walks, spgk.num_steps)
+
+    def join_fn(nodes, _eidx, sizes, edges):
+        return join(nodes, spgk.khi, spgk.klo, sizes, edges)
+
+    dev = SpGDevice(nodes=spgk.nodes, eidx=spgk.nodes, sizes=spgk.sizes,
+                    enc=jnp.zeros((1, 1), jnp.float32))
+    return DeviceTrainer(model, dev, config, join_fn=join_fn,
+                         feature=feature, train_embed_mode="direct")
 
 
 def evaluate_device(trainer: DeviceTrainer, params, inf_edge,

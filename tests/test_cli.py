@@ -1,0 +1,86 @@
+"""CLI-level tests: config overrides, end-to-end experiment runs on
+synthetic data for link, hetero (MAG), and higher-order drivers."""
+
+import numpy as np
+import pytest
+
+from surel_plus_tpu.utils.config import (
+    ExperimentConfig, apply_dataset_overrides)
+
+
+def test_dataset_overrides():
+    cfg = apply_dataset_overrides(ExperimentConfig(dataset="ogbl-collab"))
+    assert cfg.metric == "Hits@50" and cfg.use_val and cfg.alpha == 0.7
+    cfg = apply_dataset_overrides(ExperimentConfig(dataset="ogbl-citation2"))
+    assert cfg.metric == "MRR" and cfg.alpha == 0.1
+    cfg = apply_dataset_overrides(ExperimentConfig(dataset="ogbl-vessel"))
+    assert cfg.use_raw and cfg.metric == "AUC"
+    cfg = apply_dataset_overrides(ExperimentConfig(dataset="ogbl-ppa"))
+    assert cfg.metric == "Hits@100" and cfg.alpha == 0.5
+    cfg = apply_dataset_overrides(ExperimentConfig(dataset="ogbl-ddi"))
+    assert cfg.metric == "Hits@20"
+    cfg = apply_dataset_overrides(ExperimentConfig(dataset="mag"))
+    assert cfg.metric == "MRR"
+    with pytest.raises(NotImplementedError):
+        apply_dataset_overrides(ExperimentConfig(dataset="unknown"))
+
+
+def test_config_argparse_roundtrip():
+    import argparse
+
+    from surel_plus_tpu.utils.config import (add_config_args,
+                                             config_from_args)
+    parser = argparse.ArgumentParser()
+    add_config_args(parser)
+    args = parser.parse_args(["--dataset", "synth", "--num_walks", "42",
+                              "--lr", "0.01", "--use_val"])
+    cfg = config_from_args(args)
+    assert cfg.dataset == "synth" and cfg.num_walks == 42
+    assert cfg.lr == 0.01 and cfg.use_val
+
+
+def test_run_experiment_link(tmp_path):
+    from surel_plus_tpu.cli.main import run_experiment
+
+    cfg = ExperimentConfig(
+        dataset="synth", metric="Hits@50", synth_nodes=300,
+        synth_edges=1500, num_walks=8, num_steps=3, batch_size=128,
+        epochs=2, eval_steps=1, runs=1, hidden_channels=16,
+        log_dir=str(tmp_path), early_stop=-1)
+    out = run_experiment(cfg)
+    (valid, test) = out["best"][0]
+    assert 0.0 <= valid <= 1.0 and 0.0 <= test <= 1.0
+
+
+def test_run_experiment_ppr_path(tmp_path):
+    from surel_plus_tpu.cli.main import run_experiment
+
+    cfg = ExperimentConfig(
+        dataset="synth", metric="AUC", sencoder="PPR", synth_nodes=200,
+        synth_edges=1000, topk=16, batch_size=128, epochs=1, eval_steps=1,
+        runs=1, hidden_channels=16, log_dir=str(tmp_path))
+    out = run_experiment(cfg)
+    assert "best" in out
+
+
+def test_run_experiment_hetero(tmp_path):
+    from surel_plus_tpu.cli.main import run_experiment
+
+    cfg = ExperimentConfig(
+        dataset="synth-mag", metric="MRR", relation="cite",
+        synth_nodes=200, synth_edges=800, num_walks=8, num_steps=3,
+        batch_size=128, epochs=1, eval_steps=1, runs=1,
+        hidden_channels=16, log_dir=str(tmp_path))
+    out = run_experiment(cfg)
+    assert "best" in out
+
+
+def test_run_experiment_horder(tmp_path):
+    from surel_plus_tpu.cli.main_horder import run_experiment
+
+    cfg = ExperimentConfig(
+        dataset="synth-hyper", synth_nodes=150, synth_edges=500,
+        num_walks=8, num_steps=3, batch_size=128, epochs=1, eval_steps=1,
+        runs=1, hidden_channels=16, log_dir=str(tmp_path), k=5)
+    out = run_experiment(cfg)
+    assert "best" in out
