@@ -123,14 +123,7 @@ def gather_join_scalar(nodes, values, sizes, edges):
 
 
 def _cross_lookup_f(nodes_a, nodes_b, vals_b):
-    """Float-valued variant of join._cross_lookup."""
-    import jax.numpy as jnp
+    """Float-valued variant of join._cross_lookup (merge-join based)."""
+    from surel_plus_tpu.ops.join import _cross_lookup_multi
 
-    from surel_plus_tpu.ops.walk import rows_searchsorted
-
-    pos = rows_searchsorted(nodes_b, nodes_a)
-    L = nodes_b.shape[1]
-    pos = jnp.minimum(pos, L - 1)
-    hit = (jnp.take_along_axis(nodes_b, pos, axis=1) == nodes_a) \
-        & (nodes_a != INT32_MAX)
-    return jnp.where(hit, jnp.take_along_axis(vals_b, pos, axis=1), 0.0)
+    return _cross_lookup_multi(nodes_a, nodes_b, vals_b)[0]
