@@ -106,8 +106,40 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
 
     G_obsrv, G_inf = graphs["train"], graphs["test"]
 
+    use_device_engine = (
+        cfg.engine == "device"
+        or (cfg.engine == "auto" and cfg.sencoder == "LP"
+            and jax.default_backend() not in ("cpu",)))
+
     prep_start = time.time()
-    if cfg.sencoder == "LP":
+    feature = getattr(ds, "x", None) if cfg.use_raw else None
+    tcfg = TrainConfig(batch_size=cfg.batch_size, lr=cfg.lr,
+                       epochs=cfg.epochs, eval_steps=cfg.eval_steps,
+                       early_stop=cfg.early_stop, seed=cfg.seed)
+
+    if use_device_engine:
+        # TPU path: packed-key SpG + device-resident engine (bf16 compute)
+        from surel_plus_tpu.ops.sampler import subg_matrix_device_keys
+        from surel_plus_tpu.train.device import trainer_from_keys
+
+        x_keys = subg_matrix_device_keys(
+            G_obsrv, np.arange(G_obsrv.num_nodes, dtype=np.int32),
+            num_walks=cfg.num_walks, num_steps=cfg.num_steps,
+            seed=cfg.seed)
+        z_keys = subg_matrix_device_keys(
+            G_inf, np.arange(G_inf.num_nodes, dtype=np.int32),
+            num_walks=cfg.num_walks, num_steps=cfg.num_steps,
+            seed=cfg.seed)
+        input_dim = cfg.num_steps
+        model = Net(input_dim=input_dim, hidden_dim=cfg.hidden_channels,
+                    out_dim=1, x_dim=ds.num_feature, dropout=cfg.dropout,
+                    use_feature=cfg.use_raw, aggrs=cfg.aggrs,
+                    dtype="bfloat16")
+        feat_dev = (None if feature is None
+                    else jax.numpy.asarray(feature))
+        trainer = trainer_from_keys(model, x_keys, tcfg, feature=feat_dev)
+        scorer = trainer_from_keys(model, z_keys, tcfg, feature=feat_dev)
+    elif cfg.sencoder == "LP":
         x_spg = subg_matrix(G_obsrv, np.arange(G_obsrv.num_nodes,
                                                dtype=np.int32),
                             num_walks=cfg.num_walks,
@@ -117,35 +149,51 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
                             num_walks=cfg.num_walks,
                             num_steps=cfg.num_steps, seed=cfg.seed)
         input_dim = cfg.num_steps
-        join_scalar = False
+        model = Net(input_dim=input_dim, hidden_dim=cfg.hidden_channels,
+                    out_dim=1, x_dim=ds.num_feature, dropout=cfg.dropout,
+                    use_feature=cfg.use_raw, aggrs=cfg.aggrs)
+        trainer = LinkPredictor(model, x_spg, tcfg, feature=feature)
+        scorer = LinkPredictor(model, z_spg, tcfg, feature=feature)
     else:
         x_spg = _scalar_pipeline(cfg, G_obsrv, logger)
         z_spg = _scalar_pipeline(cfg, G_inf, logger)
         input_dim = 1
-        join_scalar = True
-    logger.info("Prep. Runtime (%s): %.2fs", cfg.sencoder,
-                time.time() - prep_start)
-
-    feature = getattr(ds, "x", None) if cfg.use_raw else None
-    model = Net(input_dim=input_dim, hidden_dim=cfg.hidden_channels,
-                out_dim=1, x_dim=ds.num_feature, dropout=cfg.dropout,
-                use_feature=cfg.use_raw, aggrs=cfg.aggrs)
-
-    tcfg = TrainConfig(batch_size=cfg.batch_size, lr=cfg.lr,
-                       epochs=cfg.epochs, eval_steps=cfg.eval_steps,
-                       early_stop=cfg.early_stop, seed=cfg.seed)
-    if join_scalar:
+        model = Net(input_dim=input_dim, hidden_dim=cfg.hidden_channels,
+                    out_dim=1, x_dim=ds.num_feature, dropout=cfg.dropout,
+                    use_feature=cfg.use_raw, aggrs=cfg.aggrs)
         from surel_plus_tpu.train.scalar import ScalarLinkPredictor
         trainer = ScalarLinkPredictor(model, x_spg, tcfg, feature=feature)
         scorer = ScalarLinkPredictor(model, z_spg, tcfg, feature=feature)
-    else:
-        trainer = LinkPredictor(model, x_spg, tcfg, feature=feature)
-        scorer = LinkPredictor(model, z_spg, tcfg, feature=feature)
+    logger.info("Prep. Runtime (%s): %.2fs", cfg.sencoder,
+                time.time() - prep_start)
 
     edges = np.concatenate(train_edge, axis=1)
     labels = np.concatenate([
         np.ones(train_edge[0].shape[1], np.float32),
         np.zeros(train_edge[1].shape[1], np.float32)])
+
+    if use_device_engine:
+        import jax.numpy as jnp
+
+        from surel_plus_tpu.train.device import evaluate_device
+
+        edges_dev = jnp.asarray(edges)
+        labels_dev = jnp.asarray(labels)
+
+        def run_epoch(params, opt_state, key):
+            p, o, loss, auc = trainer.train_epoch(
+                params, opt_state, edges_dev, labels_dev, key)
+            return p, o, float(loss), float(auc)
+
+        def run_eval(params):
+            return evaluate_device(scorer, params, inf_edge, cfg.metric)
+    else:
+        def run_epoch(params, opt_state, key):
+            return trainer.train_epoch(params, opt_state, edges, labels,
+                                       rng, key)
+
+        def run_eval(params):
+            return evaluate(scorer, params, inf_edge, cfg.metric)
 
     rlog = ResultLogger(runs=cfg.runs, metric=cfg.metric,
                         early_stop=cfg.early_stop)
@@ -153,7 +201,7 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
 
     if cfg.inf_only and cfg.load_model:
         params = load_checkpoint(cfg.load_model)["params"]
-        results, d_inf = evaluate(scorer, params, inf_edge, cfg.metric)
+        results, d_inf = run_eval(params)
         logger.info("inference-only results: %s (T_test %.2fs)",
                     results, d_inf)
         return {"results": results}
@@ -164,13 +212,13 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
             edges[:, :cfg.batch_size])
         key = jax.random.PRNGKey(cfg.seed + 1000 + run)
         for epoch in range(cfg.epochs):
-            params, opt_state, loss, auc = trainer.train_epoch(
-                params, opt_state, edges, labels, rng, key)
+            key, sub = jax.random.split(key)
+            params, opt_state, loss, auc = run_epoch(params, opt_state,
+                                                     sub)
             logger.info("Run: %02d, Epoch: %02d, Loss: %.4f, AUC: %.4f",
                         run + 1, epoch, loss, auc)
             if epoch % cfg.eval_steps == 0:
-                results, d_inf = evaluate(scorer, params, inf_edge,
-                                          cfg.metric)
+                results, d_inf = run_eval(params)
                 logger.info("eval: %s (T_test %.2f)", results, d_inf)
                 if rlog.add_result(run, results):
                     save_checkpoint(

@@ -28,41 +28,35 @@ log = logging.getLogger(__name__)
 
 DEFAULT_BLOCK = 65536  # C NMAX blocking, subg_acc.c:12
 
-_DEVICE_GRAPH_CACHE = {}
-_SHUFFLE_CACHE = {}
-
-
 def device_graph(graph: CSRGraph):
     """Upload a CSR graph (indptr, indices) to HBM once per graph object —
-    host->device uploads are expensive and the arrays are immutable."""
-    key = id(graph)
-    hit = _DEVICE_GRAPH_CACHE.get(key)
-    if hit is not None:
-        return hit
-    out = graph.device()
-    if len(_DEVICE_GRAPH_CACHE) > 8:
-        _DEVICE_GRAPH_CACHE.clear()
-    _DEVICE_GRAPH_CACHE[key] = out
-    return out
+    host->device uploads are expensive and the arrays are immutable.
+    Cached on the object itself (id()-keyed dicts collide after GC)."""
+    cache = getattr(graph, "_device_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(graph, "_device_cache", cache)
+    if "csr" not in cache:
+        cache["csr"] = graph.device()
+    return cache["csr"]
 
 
 def shuffled_indices_for(graph: CSRGraph, seed: int):
     """Per-row random permutation of CSR indices, computed host-side
     (np.lexsort over (row, rand) — one pass, no device compile) and
     uploaded once per (graph, seed)."""
-    key = (id(graph), seed)
-    hit = _SHUFFLE_CACHE.get(key)
-    if hit is not None:
-        return hit
-    rng = np.random.default_rng(seed)
-    row_ids = np.repeat(np.arange(graph.num_nodes, dtype=np.int64),
-                        graph.degrees().astype(np.int64))
-    order = np.lexsort((rng.random(graph.num_edges), row_ids))
-    out = jnp.asarray(graph.indices[order])
-    if len(_SHUFFLE_CACHE) > 8:
-        _SHUFFLE_CACHE.clear()
-    _SHUFFLE_CACHE[key] = out
-    return out
+    cache = getattr(graph, "_device_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(graph, "_device_cache", cache)
+    key = ("shuffle", seed)
+    if key not in cache:
+        rng = np.random.default_rng(seed)
+        row_ids = np.repeat(np.arange(graph.num_nodes, dtype=np.int64),
+                            graph.degrees().astype(np.int64))
+        order = np.lexsort((rng.random(graph.num_edges), row_ids))
+        cache[key] = jnp.asarray(graph.indices[order])
+    return cache[key]
 
 
 def sample_gsets(

@@ -135,25 +135,33 @@ class DeviceTrainer:
         self.config = config
         self.join_fn = join_fn
         self.feature = feature
+        # SpG arrays are passed to every jitted program as ARGUMENTS —
+        # closure capture would embed hundreds of MB as HLO constants
+        # (which also breaks remote-compile transports).
+        self.sarr = (dev.nodes, dev.eidx, dev.sizes, dev.enc)
+        self._join2 = lambda s, e: join_fn(s[0], s[1], s[2], e)
+        self._enc_of = lambda s: s[3]
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(config.grad_clip),
             optax.adam(config.lr),
         )
         self._epoch_cache = {}
         self._score_cache = {}
+        self._init_fn = None
 
     def init(self, rng: jax.Array, example_edges) -> Tuple:
         edges = jnp.asarray(example_edges)
-        dev, join_fn, feature, model = (self.dev, self.join_fn,
-                                        self.feature, self.model)
+        join2, enc_of, model = self._join2, self._enc_of, self.model
 
-        @jax.jit
-        def _init(rng, edges):
-            joined = join_fn(dev.nodes, dev.eidx, dev.sizes, edges)
-            feat = feature[edges] if feature is not None else None
-            return model.init(rng, dev.enc, joined, feat)
+        if self._init_fn is None:
+            @jax.jit
+            def _init(rng, sarr, feature, edges):
+                joined = join2(sarr, edges)
+                feat = feature[edges] if feature is not None else None
+                return model.init(rng, enc_of(sarr), joined, feat)
 
-        params = _init(rng, edges)
+            self._init_fn = _init
+        params = self._init_fn(rng, self.sarr, self.feature, edges)
         return params, self.optimizer.init(params)
 
     # ------------------------------------------------------------------
@@ -162,14 +170,12 @@ class DeviceTrainer:
         multi-epoch programs."""
         bs = self.config.batch_size
         nsteps = (num_edges + bs - 1) // bs
-        pad = nsteps * bs - num_edges
-        dev, model, join_fn, opt = (self.dev, self.train_model,
-                                    self.join_fn, self.optimizer)
-        feature = self.feature
+        model, opt = self.train_model, self.optimizer
+        join2, enc_of = self._join2, self._enc_of
 
         auc_bins = 512
 
-        def epoch(params, opt_state, edges, labels, key):
+        def epoch(params, opt_state, sarr, feature, edges, labels, key):
             kperm, kdrop = jax.random.split(key)
             # pseudorandom batches via riffle shuffle (sort-free on the
             # flat axis); padded ids (>= num_edges) carry weight 0
@@ -183,11 +189,11 @@ class DeviceTrainer:
                 be = edges[:, idx]
                 bl = labels[idx]
                 key, sub = jax.random.split(key)
-                joined = join_fn(dev.nodes, dev.eidx, dev.sizes, be)
+                joined = join2(sarr, be)
                 feat = feature[be] if feature is not None else None
 
                 def loss_fn(p):
-                    logits = model.apply(p, dev.enc, joined, feat,
+                    logits = model.apply(p, enc_of(sarr), joined, feat,
                                          train=True, rngs={"dropout": sub})
                     per = optax.sigmoid_binary_cross_entropy(logits, bl)
                     return (per * w).sum() / jnp.maximum(w.sum(), 1.0), \
@@ -227,7 +233,8 @@ class DeviceTrainer:
         Returns (params, opt_state, loss, auc) — loss/auc still device
         scalars (pull lazily)."""
         fn = self._epoch_fn(edges_dev.shape[1])
-        return fn(params, opt_state, edges_dev, labels_dev, key)
+        return fn(params, opt_state, self.sarr, self.feature, edges_dev,
+                  labels_dev, key)
 
     def _fit_fn(self, num_edges: int, n_epochs: int):
         key_c = (num_edges, n_epochs)
@@ -236,11 +243,11 @@ class DeviceTrainer:
         body = self._epoch_body(num_edges)
 
         @jax.jit
-        def fit(params, opt_state, edges, labels, key):
+        def fit(params, opt_state, sarr, feature, edges, labels, key):
             def one(carry, ekey):
                 params, opt_state = carry
-                params, opt_state, loss, auc = body(params, opt_state,
-                                                    edges, labels, ekey)
+                params, opt_state, loss, auc = body(
+                    params, opt_state, sarr, feature, edges, labels, ekey)
                 return (params, opt_state), (loss, auc)
 
             keys = jax.random.split(key, n_epochs)
@@ -257,7 +264,8 @@ class DeviceTrainer:
         on high-latency links). Returns (params, opt_state,
         losses [n_epochs], aucs [n_epochs])."""
         fn = self._fit_fn(edges_dev.shape[1], n_epochs)
-        return fn(params, opt_state, edges_dev, labels_dev, key)
+        return fn(params, opt_state, self.sarr, self.feature, edges_dev,
+                  labels_dev, key)
 
     # ------------------------------------------------------------------
     def _score_fn(self, num_padded: int):
@@ -266,16 +274,16 @@ class DeviceTrainer:
         bs = self.config.batch_size
         assert num_padded % bs == 0
         nsteps = num_padded // bs
-        dev, model, join_fn = self.dev, self.model, self.join_fn
-        feature = self.feature
+        model = self.model
+        join2, enc_of = self._join2, self._enc_of
 
         @jax.jit
-        def score(params, edges):
+        def score(params, sarr, feature, edges):
             def step(_, i):
                 be = jax.lax.dynamic_slice_in_dim(edges, i * bs, bs, axis=1)
-                joined = join_fn(dev.nodes, dev.eidx, dev.sizes, be)
+                joined = join2(sarr, be)
                 feat = feature[be] if feature is not None else None
-                logits = model.apply(params, dev.enc, joined, feat,
+                logits = model.apply(params, enc_of(sarr), joined, feat,
                                      train=False)
                 return None, jax.nn.sigmoid(logits)
 
@@ -295,7 +303,8 @@ class DeviceTrainer:
             edges = np.concatenate(
                 [edges, np.zeros((edges.shape[0], pad), edges.dtype)],
                 axis=1)
-        scores = self._score_fn(E + pad)(params, jnp.asarray(edges))
+        scores = self._score_fn(E + pad)(params, self.sarr, self.feature,
+                                         jnp.asarray(edges))
         return scores[:E]
 
 
@@ -307,13 +316,15 @@ def trainer_from_keys(model, spgk, config: TrainConfig,
 
     join = make_keys_join(spgk.num_walks, spgk.num_steps)
 
-    def join_fn(nodes, _eidx, sizes, edges):
-        return join(nodes, spgk.khi, spgk.klo, sizes, edges)
-
     dev = SpGDevice(nodes=spgk.nodes, eidx=spgk.nodes, sizes=spgk.sizes,
                     enc=jnp.zeros((1, 1), jnp.float32))
-    return DeviceTrainer(model, dev, config, join_fn=join_fn,
-                         feature=feature, train_embed_mode="direct")
+    tr = DeviceTrainer(model, dev, config, feature=feature,
+                       train_embed_mode="direct")
+    # override the argument pytree and join to carry the packed keys
+    tr.sarr = (spgk.nodes, spgk.khi, spgk.klo, spgk.sizes)
+    tr._join2 = lambda s, e: join(s[0], s[1], s[2], s[3], e)
+    tr._enc_of = lambda s: jnp.zeros((1, 1), jnp.float32)
+    return tr
 
 
 def evaluate_device(trainer: DeviceTrainer, params, inf_edge,

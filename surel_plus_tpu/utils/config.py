@@ -44,6 +44,7 @@ class ExperimentConfig:
     runs: int = 1
     seed: int = 0
     # infra
+    engine: str = "auto"               # auto | host | device
     metric: str = "MRR"
     log_dir: str = "./log/"
     load_model: Optional[str] = None
