@@ -328,13 +328,31 @@ def _build_sets_packed_block(seeds: jax.Array, walks: jax.Array,
     compact = jnp.cumsum(first, axis=1).astype(jnp.int32) - 1
     sizes = jnp.minimum(compact[:, -1] + 1, bucket)
 
+    # Slot starts via one more row sort instead of a binary search (the
+    # search's take_along_axis gathers run near one element per cycle on
+    # TPU; sorts are lane-vectorized): sort (first ? slot : MAX) carrying
+    # the visit position and node id — the first `bucket` entries are each
+    # slot's start position and unique node.
+    vpos = jnp.broadcast_to(
+        jnp.arange(visits, dtype=jnp.int32)[None, :], (block, visits))
+    slot_key = jnp.where(first, compact, jnp.int32(0x7FFFFFFF))
+    _, spos_sorted, snode_sorted = jax.lax.sort(
+        (slot_key, vpos, snodes), num_keys=1)
+    if visits >= bucket:
+        pos = spos_sorted[:, :bucket]
+        nodes_out = snode_sorted[:, :bucket]
+    else:
+        padw = bucket - visits
+        pos = jnp.concatenate(
+            [spos_sorted, jnp.full((block, padw), visits, jnp.int32)],
+            axis=1)
+        nodes_out = jnp.concatenate(
+            [snode_sorted, jnp.full((block, padw), INT32_MAX, jnp.int32)],
+            axis=1)
     slots = jnp.arange(bucket, dtype=jnp.int32)
-    pos = rows_searchsorted(compact, jnp.broadcast_to(
-        slots[None, :], (block, bucket)))            # slot start positions
-    nodes_out = jnp.take_along_axis(snodes, jnp.minimum(pos, visits - 1),
-                                    axis=1)
     valid = slots[None, :] < sizes[:, None]
     nodes_out = jnp.where(valid, nodes_out, INT32_MAX)
+    pos = jnp.where(valid, pos, visits)
 
     # segmented sums via modular prefix differences
     pre_lo = jnp.cumsum(s_lo, axis=1, dtype=jnp.uint32)
@@ -346,7 +364,8 @@ def _build_sets_packed_block(seeds: jax.Array, walks: jax.Array,
 
     def prefix_at(pre, p):
         # inclusive prefix before position p (p==0 -> 0)
-        v = jnp.take_along_axis(pre, jnp.maximum(p - 1, 0), axis=1)
+        safe = jnp.clip(p - 1, 0, visits - 1)
+        v = jnp.take_along_axis(pre, safe, axis=1)
         return jnp.where(p > 0, v, jnp.uint32(0))
 
     lo_keys = prefix_at(pre_lo, pos_next) - prefix_at(pre_lo, pos)
