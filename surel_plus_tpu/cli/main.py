@@ -66,11 +66,25 @@ def load_hetero(cfg: ExperimentConfig, rng):
         mask_ratio=cfg.train_ratio, k=cfg.k, rng=rng)
 
 
-def _scalar_pipeline(cfg, G, logger):
-    """PPR/SPD/DEG metric path (main.py:181-196)."""
-    idx = np.arange(G.num_nodes)
-    x = topk_ppr_matrix(G, cfg.alpha, cfg.eps, idx, cfg.topk,
-                        normalization="sym")
+def _scalar_pipeline(cfg, G, logger, save_load: bool = False):
+    """PPR/SPD/DEG metric path incl. the save/load npz cache
+    (main.py:181-202)."""
+    from scipy.sparse import load_npz, save_npz
+
+    ppr_path = (f"{cfg.dataset}_z_{cfg.alpha}_{cfg.topk}_{cfg.eps}.npz"
+                if save_load else None)
+    if save_load and cfg.load_ppr:
+        try:
+            x = load_npz(ppr_path)
+        except FileNotFoundError:
+            logger.info("%s does not exist.", ppr_path)
+            raise
+    else:
+        idx = np.arange(G.num_nodes)
+        x = topk_ppr_matrix(G, cfg.alpha, cfg.eps, idx, cfg.topk,
+                            normalization="sym")
+        if save_load and cfg.save_ppr:
+            save_npz(ppr_path, x.tocsr())
     x, _ = encoding(x.tocsr(), G.to_scipy(), cfg.sencoder)
     return scalar_spg_from_csr(x.tocsr())
 
@@ -122,14 +136,15 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
         from surel_plus_tpu.ops.sampler import subg_matrix_device_keys
         from surel_plus_tpu.train.device import trainer_from_keys
 
+        bucket = cfg.bucket if cfg.bucket and cfg.bucket > 0 else None
         x_keys = subg_matrix_device_keys(
             G_obsrv, np.arange(G_obsrv.num_nodes, dtype=np.int32),
             num_walks=cfg.num_walks, num_steps=cfg.num_steps,
-            seed=cfg.seed)
+            seed=cfg.seed, bucket=bucket)
         z_keys = subg_matrix_device_keys(
             G_inf, np.arange(G_inf.num_nodes, dtype=np.int32),
             num_walks=cfg.num_walks, num_steps=cfg.num_steps,
-            seed=cfg.seed)
+            seed=cfg.seed, bucket=bucket)
         input_dim = cfg.num_steps
         model = Net(input_dim=input_dim, hidden_dim=cfg.hidden_channels,
                     out_dim=1, x_dim=ds.num_feature, dropout=cfg.dropout,
@@ -140,13 +155,14 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
         trainer = trainer_from_keys(model, x_keys, tcfg, feature=feat_dev)
         scorer = trainer_from_keys(model, z_keys, tcfg, feature=feat_dev)
     elif cfg.sencoder == "LP":
+        bucket = cfg.bucket if cfg.bucket and cfg.bucket > 0 else None
         x_spg = subg_matrix(G_obsrv, np.arange(G_obsrv.num_nodes,
                                                dtype=np.int32),
-                            num_walks=cfg.num_walks,
+                            num_walks=cfg.num_walks, bucket=bucket,
                             num_steps=cfg.num_steps, seed=cfg.seed)
         z_spg = subg_matrix(G_inf, np.arange(G_inf.num_nodes,
                                              dtype=np.int32),
-                            num_walks=cfg.num_walks,
+                            num_walks=cfg.num_walks, bucket=bucket,
                             num_steps=cfg.num_steps, seed=cfg.seed)
         input_dim = cfg.num_steps
         model = Net(input_dim=input_dim, hidden_dim=cfg.hidden_channels,
@@ -156,7 +172,7 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
         scorer = LinkPredictor(model, z_spg, tcfg, feature=feature)
     else:
         x_spg = _scalar_pipeline(cfg, G_obsrv, logger)
-        z_spg = _scalar_pipeline(cfg, G_inf, logger)
+        z_spg = _scalar_pipeline(cfg, G_inf, logger, save_load=True)
         input_dim = 1
         model = Net(input_dim=input_dim, hidden_dim=cfg.hidden_channels,
                     out_dim=1, x_dim=ds.num_feature, dropout=cfg.dropout,

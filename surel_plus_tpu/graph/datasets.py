@@ -336,8 +336,8 @@ def synthetic_hetero_data(num_authors: int = 300, num_papers: int = 500,
                               pred[perm[n_eval:2 * n_eval]],
                               pred[perm[2 * n_eval:]])
     split_edge = {
-        "train": {"source_node": train_e[:, 0], "target_node": train_e[:, 1],
-                  "edge": train_e},
+        "train": {"source_node": train_e[:, 0],
+                  "target_node": train_e[:, 1]},
         "valid": {"source_node": val_e[:, 0], "target_node": val_e[:, 1],
                   "target_node_neg": rng.integers(
                       0, n, (len(val_e), neg_per_query))},

@@ -155,32 +155,33 @@ def make_keys_join(num_walks: int, num_steps: int):
     the anchor slot's unpacked encoding paired with the partner's (zero
     vector if absent — key 0 unpacks to the zero row)."""
 
-    def cross_pair(na, nb, hib, lob):
-        """Merge-join both key words in one sorted pass."""
-        return _cross_lookup_multi(na, nb, hib, lob)
-
     def join(nodes, khi, klo, sizes, edges):
-        rows_nodes = nodes[edges]      # [2, B, L]
-        rows_hi = khi[edges]
-        rows_lo = klo[edges]
-        rows_sizes = sizes[edges]
-        nu, nv = rows_nodes[0], rows_nodes[1]
-        cross_hi_u, cross_lo_u = cross_pair(nu, nv, rows_hi[1], rows_lo[1])
-        cross_hi_v, cross_lo_v = cross_pair(nv, nu, rows_hi[0], rows_lo[0])
-        khi_pairs = jnp.stack([
-            jnp.stack([rows_hi[0], cross_hi_u], axis=-1),
-            jnp.stack([rows_hi[1], cross_hi_v], axis=-1),
-        ])                              # [2, B, L, 2]
-        klo_pairs = jnp.stack([
-            jnp.stack([rows_lo[0], cross_lo_u], axis=-1),
-            jnp.stack([rows_lo[1], cross_lo_v], axis=-1),
-        ])
-        feats = unpack_key_features(khi_pairs, klo_pairs, num_walks,
-                                    num_steps)
-        mask = rows_nodes != jnp.int32(INT32_MAX)
-        return JoinedBatch(eidx=feats, mask=mask, sizes=rows_sizes)
+        return join_gathered_keys(nodes[edges], khi[edges], klo[edges],
+                                  sizes[edges], num_walks, num_steps)
 
     return join
+
+
+def join_gathered_keys(rows_nodes, rows_hi, rows_lo, rows_sizes,
+                       num_walks: int, num_steps: int) -> JoinedBatch:
+    """Keys join over pre-gathered rows ([2, B, L] each) — used directly
+    by the distributed path, where rows arrive via sharded psum gathers."""
+    nu, nv = rows_nodes[0], rows_nodes[1]
+    cross_hi_u, cross_lo_u = _cross_lookup_multi(
+        nu, nv, rows_hi[1], rows_lo[1])
+    cross_hi_v, cross_lo_v = _cross_lookup_multi(
+        nv, nu, rows_hi[0], rows_lo[0])
+    khi_pairs = jnp.stack([
+        jnp.stack([rows_hi[0], cross_hi_u], axis=-1),
+        jnp.stack([rows_hi[1], cross_hi_v], axis=-1),
+    ])                              # [2, B, L, 2]
+    klo_pairs = jnp.stack([
+        jnp.stack([rows_lo[0], cross_lo_u], axis=-1),
+        jnp.stack([rows_lo[1], cross_lo_v], axis=-1),
+    ])
+    feats = unpack_key_features(khi_pairs, klo_pairs, num_walks, num_steps)
+    mask = rows_nodes != jnp.int32(INT32_MAX)
+    return JoinedBatch(eidx=feats, mask=mask, sizes=rows_sizes)
 
 
 def hgather_join(nodes: jax.Array, eidx: jax.Array, sizes: jax.Array,

@@ -102,6 +102,114 @@ def dist_gather_rows(local: jax.Array, row_ids: jax.Array,
     return jax.lax.psum(got, axis)
 
 
+@dataclasses.dataclass
+class ShardedSpGKeys:
+    """Packed-key SpG padded to a multiple of the graph axis and sharded
+    row-wise (the production multi-chip layout: no enc table to replicate,
+    the join unpacks features on the fly)."""
+
+    nodes: jax.Array
+    khi: jax.Array
+    klo: jax.Array
+    sizes: jax.Array
+    rows_per_shard: int
+    num_rows: int
+    num_walks: int
+    num_steps: int
+
+
+def shard_spg_keys(spgk, mesh: Mesh) -> ShardedSpGKeys:
+    gp = mesh.shape["graph"]
+    n = int(spgk.nodes.shape[0])
+    rows = ((n + gp - 1) // gp) * gp
+    row_sharding = NamedSharding(mesh, P("graph", None))
+    size_sharding = NamedSharding(mesh, P("graph"))
+
+    def put(x, sh):
+        x = np.asarray(x)
+        return jax.device_put(_pad_rows(x, rows), sh)
+
+    return ShardedSpGKeys(
+        nodes=put(spgk.nodes, row_sharding),
+        khi=put(spgk.khi, row_sharding),
+        klo=put(spgk.klo, row_sharding),
+        sizes=put(spgk.sizes, size_sharding),
+        rows_per_shard=rows // gp,
+        num_rows=n,
+        num_walks=spgk.num_walks,
+        num_steps=spgk.num_steps,
+    )
+
+
+class DistributedKeysTrainStep:
+    """(data x graph)-sharded train step over a row-sharded packed-key SpG:
+    query rows are reconstructed with owner-masked psums over the graph
+    axis, joined locally (merge join + on-the-fly unpack), batches are
+    data-parallel, gradients pmean over 'data'."""
+
+    def __init__(self, model, optimizer, mesh: Mesh,
+                 sspg: ShardedSpGKeys):
+        self.model = model
+        self.optimizer = optimizer
+        self.mesh = mesh
+        self.sspg = sspg
+        self._step = self._build()
+
+    def _build(self):
+        from surel_plus_tpu.ops.join import join_gathered_keys
+        from surel_plus_tpu.ops.walk import INT32_MAX
+
+        mesh, sspg = self.mesh, self.sspg
+        rps = sspg.rows_per_shard
+        M, S = sspg.num_walks, sspg.num_steps
+
+        def step_local(params, opt_state, nodes, khi, klo, sizes,
+                       edges, labels, weights, rng):
+            rows_nodes = dist_gather_rows(nodes, edges, rps)
+            rows_hi = dist_gather_rows(khi, edges, rps)
+            rows_lo = dist_gather_rows(klo, edges, rps)
+            rows_sizes = dist_gather_rows(sizes, edges, rps)
+            # restore padding sentinels lost to the psum-masking of
+            # non-owners (owner contributes them; zeros elsewhere)
+            L = rows_nodes.shape[-1]
+            slot = jnp.arange(L, dtype=jnp.int32)
+            valid = slot[None, None, :] < rows_sizes[:, :, None]
+            rows_nodes = jnp.where(valid, rows_nodes, INT32_MAX)
+            joined = join_gathered_keys(rows_nodes, rows_hi, rows_lo,
+                                        rows_sizes, M, S)
+
+            def loss_fn(p):
+                logits = self.model.apply(
+                    p, jnp.zeros((1, 1), jnp.float32), joined, None,
+                    train=True, rngs={"dropout": rng})
+                per = optax.sigmoid_binary_cross_entropy(logits, labels)
+                return ((per * weights).sum()
+                        / jnp.maximum(weights.sum(), 1.0))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            grads = jax.lax.pmean(grads, "data")
+            loss = jax.lax.pmean(loss, "data")
+            updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                       params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        sharded = jax.shard_map(
+            step_local, mesh=mesh,
+            in_specs=(P(), P(), P("graph", None), P("graph", None),
+                      P("graph", None), P("graph"), P(None, "data"),
+                      P("data"), P("data"), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    def __call__(self, params, opt_state, edges, labels, weights, rng):
+        return self._step(params, opt_state, self.sspg.nodes,
+                          self.sspg.khi, self.sspg.klo, self.sspg.sizes,
+                          edges, labels, weights, rng)
+
+
 class DistributedTrainStep:
     """Builds a jitted (data x graph)-sharded train step for `Net`-style
     models over a ShardedSpG."""

@@ -77,6 +77,48 @@ def test_distributed_step_matches_single(setup):
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_distributed_keys_step(setup):
+    """Keys-layout sharded step trains and produces a finite loss equal to
+    the single-device keys trainer's first-step loss."""
+    from surel_plus_tpu.ops.join import make_keys_join
+    from surel_plus_tpu.ops.sampler import sample_gsets_device_keys
+    from surel_plus_tpu.parallel.dist import (
+        DistributedKeysTrainStep, shard_spg_keys)
+
+    g, _, _ = setup
+    spgk = sample_gsets_device_keys(g, np.arange(200, dtype=np.int32),
+                                    num_walks=8, num_steps=2, seed=1,
+                                    block_size=200)
+    mesh = make_mesh(8)
+    sspg = shard_spg_keys(spgk, mesh)
+    model = Net(input_dim=3, hidden_dim=16, aggrs="mean", dropout=0.0)
+
+    B = 32
+    rng = np.random.default_rng(0)
+    edges = rng.integers(0, 200, size=(2, B)).astype(np.int32)
+    labels = (np.arange(B) % 2).astype(np.float32)
+
+    kjoin = make_keys_join(8, 2)
+    joined = kjoin(spgk.nodes, spgk.khi, spgk.klo, spgk.sizes,
+                   jnp.asarray(edges))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 1), jnp.float32), joined)
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0),
+                            optax.adam(1e-2))
+    opt_state = optimizer.init(params)
+
+    # single-device reference loss
+    logits = model.apply(params, jnp.zeros((1, 1), jnp.float32), joined)
+    want = float(optax.sigmoid_binary_cross_entropy(
+        logits, jnp.asarray(labels)).mean())
+
+    step = DistributedKeysTrainStep(model, optimizer, mesh, sspg)
+    p2, _, loss = step(params, opt_state, jnp.asarray(edges),
+                       jnp.asarray(labels),
+                       jnp.ones((B,), jnp.float32), jax.random.PRNGKey(9))
+    assert np.isclose(float(loss), want, rtol=1e-5), (float(loss), want)
+
+
 def test_graft_entry_dryrun():
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(
