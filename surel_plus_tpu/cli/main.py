@@ -127,6 +127,14 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
 
     prep_start = time.time()
     feature = getattr(ds, "x", None) if cfg.use_raw else None
+    if cfg.use_raw and cfg.use_pretrain and feature is not None:
+        # concat pretrained node embeddings (main.py:157-160)
+        import torch
+
+        pre = torch.load("pretrain_embedding.pt",
+                         map_location="cpu").numpy()
+        feature = np.concatenate([feature, pre], axis=-1)
+    x_dim = feature.shape[1] if feature is not None else ds.num_feature
     tcfg = TrainConfig(batch_size=cfg.batch_size, lr=cfg.lr,
                        epochs=cfg.epochs, eval_steps=cfg.eval_steps,
                        early_stop=cfg.early_stop, seed=cfg.seed)
@@ -147,7 +155,7 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
             seed=cfg.seed, bucket=bucket)
         input_dim = cfg.num_steps
         model = Net(input_dim=input_dim, hidden_dim=cfg.hidden_channels,
-                    out_dim=1, x_dim=ds.num_feature, dropout=cfg.dropout,
+                    out_dim=1, x_dim=x_dim, dropout=cfg.dropout,
                     use_feature=cfg.use_raw, aggrs=cfg.aggrs,
                     dtype="bfloat16")
         feat_dev = (None if feature is None
@@ -166,7 +174,7 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
                             num_steps=cfg.num_steps, seed=cfg.seed)
         input_dim = cfg.num_steps
         model = Net(input_dim=input_dim, hidden_dim=cfg.hidden_channels,
-                    out_dim=1, x_dim=ds.num_feature, dropout=cfg.dropout,
+                    out_dim=1, x_dim=x_dim, dropout=cfg.dropout,
                     use_feature=cfg.use_raw, aggrs=cfg.aggrs)
         trainer = LinkPredictor(model, x_spg, tcfg, feature=feature)
         scorer = LinkPredictor(model, z_spg, tcfg, feature=feature)
@@ -175,7 +183,7 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
         z_spg = _scalar_pipeline(cfg, G_inf, logger, save_load=True)
         input_dim = 1
         model = Net(input_dim=input_dim, hidden_dim=cfg.hidden_channels,
-                    out_dim=1, x_dim=ds.num_feature, dropout=cfg.dropout,
+                    out_dim=1, x_dim=x_dim, dropout=cfg.dropout,
                     use_feature=cfg.use_raw, aggrs=cfg.aggrs)
         from surel_plus_tpu.train.scalar import ScalarLinkPredictor
         trainer = ScalarLinkPredictor(model, x_spg, tcfg, feature=feature)

@@ -22,6 +22,7 @@ class ExperimentConfig:
     use_raw: bool = False
     use_weight: bool = False
     use_val: bool = False
+    use_pretrain: bool = False
     # sampling
     sencoder: str = "LP"               # LP | PPR | SPD | DEG
     num_walks: int = 100
