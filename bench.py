@@ -61,9 +61,11 @@ def main():
     log(f"graph: N={g.num_nodes} E={g.num_edges} ({time.time()-t0:.1f}s)")
 
     seeds = np.arange(num_nodes, dtype=np.int32)
+    block = 131072
     t0 = time.time()
     spgk = sample_gsets_device_keys(g, seeds, num_walks=num_walks,
-                                    num_steps=num_steps, seed=0)
+                                    num_steps=num_steps, seed=0,
+                                    block_size=block)
     # force real completion: pull one scalar derived from the result
     _ = int(spgk.sizes.max())
     dt_sample = time.time() - t0
@@ -71,7 +73,8 @@ def main():
         f"-> {num_nodes/dt_sample:,.0f} sets/s incl-compile")
     t0 = time.time()
     spgk = sample_gsets_device_keys(g, seeds, num_walks=num_walks,
-                                    num_steps=num_steps, seed=1)
+                                    num_steps=num_steps, seed=1,
+                                    block_size=block)
     _ = int(spgk.sizes.max())
     dt_sample = time.time() - t0
     log(f"sampling warm: {dt_sample:.1f}s "
@@ -110,6 +113,18 @@ def main():
     dt = time.time() - t0
     qps = n_epochs * epoch_edges / dt
     log(f"train: {n_epochs} epochs x {epoch_edges} queries in {dt:.2f}s")
+
+    # secondary: inference (SpJoin + forward) throughput
+    scores = trainer.predict(params, np.asarray(edges))      # compile
+    _ = float(scores[0])
+    t0 = time.time()
+    scores = trainer.predict(params, np.asarray(edges))
+    _ = float(scores[0])
+    dt_inf = time.time() - t0
+    L = spgk.nodes.shape[1]
+    log(f"inference: {epoch_edges} queries in {dt_inf:.2f}s -> "
+        f"{epoch_edges/dt_inf:,.0f} q/s "
+        f"({epoch_edges/dt_inf*2*L:,.0f} joined set-slots/s)")
 
     print(json.dumps({
         "metric": "train_queries_per_s",
