@@ -61,7 +61,7 @@ def main():
     log(f"graph: N={g.num_nodes} E={g.num_edges} ({time.time()-t0:.1f}s)")
 
     seeds = np.arange(num_nodes, dtype=np.int32)
-    block = 131072
+    block = 65536  # measured best (larger blocks slow the row sorts)
     t0 = time.time()
     spgk = sample_gsets_device_keys(g, seeds, num_walks=num_walks,
                                     num_steps=num_steps, seed=0,

@@ -15,9 +15,8 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import logging
-import sys
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np

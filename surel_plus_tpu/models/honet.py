@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from surel_plus_tpu.models.layers import MergeLayer, MLP2, masked_mean
 from surel_plus_tpu.ops.join import JoinedBatch

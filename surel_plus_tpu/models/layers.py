@@ -8,8 +8,6 @@ shapes, batched matmuls on the MXU.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ padded ScalarSpG device layout for TPU joins.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

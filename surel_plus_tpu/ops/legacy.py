@@ -24,7 +24,6 @@ import numpy as np
 
 from surel_plus_tpu.graph.csr import CSRGraph
 from surel_plus_tpu.ops import walk as walk_ops
-from surel_plus_tpu.ops.walk import INT32_MAX
 
 log = logging.getLogger(__name__)
 

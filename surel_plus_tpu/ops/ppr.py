@@ -15,7 +15,7 @@ import ctypes
 import logging
 import os
 import subprocess
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

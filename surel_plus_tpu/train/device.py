@@ -14,8 +14,6 @@ computed on device (sort-based, scatter-free).
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 from typing import Callable, Optional, Tuple
 
 import jax

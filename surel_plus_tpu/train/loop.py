@@ -17,7 +17,6 @@ behavior; divergence documented here.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import logging
 import time
 from typing import Callable, Dict, Optional, Tuple
@@ -28,7 +27,7 @@ import numpy as np
 import optax
 
 from surel_plus_tpu.ops import metrics as metrics_ops
-from surel_plus_tpu.ops.join import gather_join, hgather_join
+from surel_plus_tpu.ops.join import gather_join
 from surel_plus_tpu.spg.spg import SpG
 
 log = logging.getLogger(__name__)
