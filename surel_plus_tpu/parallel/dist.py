@@ -101,6 +101,61 @@ def dist_gather_rows(local: jax.Array, row_ids: jax.Array,
     return jax.lax.psum(got, axis)
 
 
+def sample_gsets_sharded(graph, seeds: np.ndarray, num_walks: int,
+                         num_steps: int, mesh: Mesh, seed: int = 111413,
+                         bucket: Optional[int] = None):
+    """Multi-device set sampling: seeds sharded over the flattened mesh,
+    CSR replicated (each device walks its own seed range — sampling is
+    embarrassingly parallel once the graph is resident; graphs beyond
+    single-device HBM use per-host shards + the dist join instead).
+
+    Returns an SpGKeys whose arrays are sharded over the first mesh axis.
+    """
+    import jax.numpy as jnp
+
+    from surel_plus_tpu.ops import walk as walk_ops
+    from surel_plus_tpu.ops.sampler import (device_graph,
+                                            shuffled_indices_for)
+    from surel_plus_tpu.spg.spg import SpGKeys
+
+    seeds = np.asarray(seeds, dtype=np.int32)
+    n = len(seeds)
+    if bucket is None:
+        bucket = num_walks * num_steps + 1
+    ndev = int(np.prod(list(mesh.shape.values())))
+    per = ((n + ndev - 1) // ndev)
+    n_pad = per * ndev
+    seeds_pad = np.concatenate(
+        [seeds, np.zeros(n_pad - n, np.int32)]) if n_pad > n else seeds
+
+    indptr, indices = device_graph(graph)
+    shuffled = shuffled_indices_for(graph, seed)
+    axis = tuple(mesh.axis_names)
+
+    def local(indptr, indices, shuffled, seeds_shard, key):
+        shard = jax.lax.axis_index(axis[0])
+        k = jax.random.fold_in(key, shard)
+        return walk_ops.sample_block(
+            indptr, indices, shuffled, seeds_shard[0], k,
+            num_walks=num_walks, num_steps=num_steps, bucket=bucket)
+
+    flat_axis = axis[0]
+    sharded = jax.shard_map(
+        local,
+        mesh=Mesh(np.asarray(mesh.devices).reshape(-1), (flat_axis,)),
+        in_specs=(P(), P(), P(), P(flat_axis, None), P()),
+        out_specs=(P(flat_axis, None), P(flat_axis),
+                   P(flat_axis, None), P(flat_axis, None)),
+        check_vma=False,
+    )
+    nodes, sizes, hi, lo = jax.jit(sharded)(
+        indptr, indices, shuffled, jnp.asarray(seeds_pad).reshape(ndev, per),
+        jax.random.PRNGKey(seed))
+    return SpGKeys(nodes=nodes[:n], khi=hi[:n], klo=lo[:n],
+                   sizes=sizes[:n], num_walks=num_walks,
+                   num_steps=num_steps)
+
+
 @dataclasses.dataclass
 class ShardedSpGKeys:
     """Packed-key SpG padded to a multiple of the graph axis and sharded

@@ -119,6 +119,31 @@ def test_distributed_keys_step(setup):
     assert np.isclose(float(loss), want, rtol=1e-5), (float(loss), want)
 
 
+def test_sharded_sampling(setup):
+    """Seed-sharded sampling produces valid sets on every shard (root
+    membership + mass conservation per seed)."""
+    from surel_plus_tpu.ops.join import unpack_key_features
+    from surel_plus_tpu.parallel.dist import sample_gsets_sharded
+
+    g, _, _ = setup
+    mesh = make_mesh(8)
+    M, S = 8, 2
+    seeds = np.arange(200, dtype=np.int32)
+    spgk = sample_gsets_sharded(g, seeds, M, S, mesh, seed=3)
+    nodes = np.asarray(spgk.nodes)
+    sizes = np.asarray(spgk.sizes)
+    feats = np.asarray(unpack_key_features(spgk.khi, spgk.klo, M, S)) * M
+    assert nodes.shape == (200, M * S + 1)
+    valid = np.arange(nodes.shape[1])[None, :] < sizes[:, None]
+    # root in its own set with count M at col 0
+    root_pos = np.argmax(nodes == seeds[:, None], axis=1)
+    assert np.all(nodes[np.arange(200), root_pos] == seeds)
+    assert np.allclose(feats[np.arange(200), root_pos, 0], M)
+    # landing mass per column == M
+    per_seed = (feats * valid[:, :, None]).sum(axis=1)
+    assert np.allclose(per_seed, M)
+
+
 def test_graft_entry_dryrun():
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(
