@@ -56,18 +56,35 @@ def run_experiment(cfg: ExperimentConfig, logger=None):
     ds = load_hyper(cfg)
     G_enc = ds.process(logger)
 
-    t0 = time.time()
-    spg = subg_matrix(G_enc, np.arange(G_enc.num_nodes, dtype=np.int32),
-                      num_walks=cfg.num_walks, num_steps=cfg.num_steps,
-                      seed=cfg.seed)
-    logger.info("Prep. Runtime (LP): %.2fs", time.time() - t0)
+    use_device_engine = (
+        cfg.engine == "device"
+        or (cfg.engine == "auto"
+            and jax.default_backend() not in ("cpu",)))
 
+    t0 = time.time()
     model = HONet(input_dim=cfg.num_steps, hidden_dim=cfg.hidden_channels,
                   dropout=cfg.dropout)
     tcfg = TrainConfig(batch_size=cfg.batch_size, lr=cfg.lr,
                        epochs=cfg.epochs, eval_steps=cfg.eval_steps,
                        early_stop=cfg.early_stop, seed=cfg.seed)
-    pred = LinkPredictor(model, spg, tcfg, join_fn=hgather_join)
+    if use_device_engine:
+        from surel_plus_tpu.ops.join import make_keys_hjoin
+        from surel_plus_tpu.ops.sampler import subg_matrix_device_keys
+        from surel_plus_tpu.train.device import trainer_from_keys
+
+        spgk = subg_matrix_device_keys(
+            G_enc, np.arange(G_enc.num_nodes, dtype=np.int32),
+            num_walks=cfg.num_walks, num_steps=cfg.num_steps,
+            seed=cfg.seed)
+        pred = trainer_from_keys(model, spgk, tcfg,
+                                 join_factory=make_keys_hjoin)
+    else:
+        spg = subg_matrix(G_enc, np.arange(G_enc.num_nodes,
+                                           dtype=np.int32),
+                          num_walks=cfg.num_walks,
+                          num_steps=cfg.num_steps, seed=cfg.seed)
+        pred = LinkPredictor(model, spg, tcfg, join_fn=hgather_join)
+    logger.info("Prep. Runtime (LP): %.2fs", time.time() - t0)
 
     pos, neg = ds.pos_hedge.T.astype(np.int32), ds.neg_hedge.T.astype(
         np.int32)
@@ -81,6 +98,29 @@ def run_experiment(cfg: ExperimentConfig, logger=None):
                                   ds.num_nodes)
     inf_edge = {"valid": val_edge, "test": test_edge}
 
+    if use_device_engine:
+        import jax.numpy as jnp
+
+        from surel_plus_tpu.train.device import evaluate_device
+
+        edges_dev = jnp.asarray(edges)
+        labels_dev = jnp.asarray(labels)
+
+        def run_epoch(params, opt_state, key):
+            p, o, loss, auc = pred.train_epoch(params, opt_state,
+                                               edges_dev, labels_dev, key)
+            return p, o, float(loss), float(auc)
+
+        def run_eval(params):
+            return evaluate_device(pred, params, inf_edge, "MRR")
+    else:
+        def run_epoch(params, opt_state, key):
+            return pred.train_epoch(params, opt_state, edges, labels,
+                                    rng, key)
+
+        def run_eval(params):
+            return evaluate(pred, params, inf_edge, "MRR")
+
     rlog = ResultLogger(runs=cfg.runs, metric="MRR",
                         early_stop=cfg.early_stop)
     for run in range(cfg.runs):
@@ -88,12 +128,13 @@ def run_experiment(cfg: ExperimentConfig, logger=None):
                                       edges[:, :cfg.batch_size])
         key = jax.random.PRNGKey(cfg.seed + 1000 + run)
         for epoch in range(cfg.epochs):
-            params, opt_state, loss, auc = pred.train_epoch(
-                params, opt_state, edges, labels, rng, key)
+            key, sub = jax.random.split(key)
+            params, opt_state, loss, auc = run_epoch(params, opt_state,
+                                                     sub)
             logger.info("Run: %02d, Epoch: %02d, Loss: %.4f, AUC: %.4f",
                         run + 1, epoch, loss, auc)
             if epoch % cfg.eval_steps == 0:
-                results, d_inf = evaluate(pred, params, inf_edge, "MRR")
+                results, d_inf = run_eval(params)
                 logger.info("eval MRR: %s (T_test %.2f)", results, d_inf)
                 if rlog.add_result(run, results):
                     break

@@ -27,9 +27,15 @@ class HONet(nn.Module):
     def __call__(self, enc_table: jax.Array, joined: JoinedBatch,
                  feature=None, *, train: bool = False) -> jax.Array:
         """joined.eidx: [4, B, L, 2]; returns logits [B]."""
-        table = MLP2(self.hidden_dim, self.hidden_dim,
-                     name="pe_embedding")(enc_table)
-        pair = table[joined.eidx]          # [4, B, L, 2, h]
+        import jax.numpy as jnp
+
+        pe = MLP2(self.hidden_dim, self.hidden_dim, name="pe_embedding")
+        if jnp.issubdtype(joined.eidx.dtype, jnp.integer):
+            table = pe(enc_table)
+            pair = table[joined.eidx]      # [4, B, L, 2, h]
+        else:
+            # packed-key path: unpacked feature pairs [4, B, L, 2, ncol]
+            pair = pe(joined.eidx)
         x = pair.sum(axis=-2)              # [4, B, L, h]
         agg = masked_mean(x, joined.mask)  # [4, B, h]
         score = MergeLayer(self.hidden_dim, self.out_dim, self.dropout,

@@ -184,6 +184,34 @@ def join_gathered_keys(rows_nodes, rows_hi, rows_lo, rows_sizes,
     return JoinedBatch(eidx=feats, mask=mask, sizes=rows_sizes)
 
 
+def make_keys_hjoin(num_walks: int, num_steps: int):
+    """Packed-key variant of hgather_join (train.py:48-72's four segment
+    groups u|w, w|u, v|w, w|v) producing unpacked float feature pairs."""
+
+    def join(nodes, khi, klo, sizes, hedges):
+        if hedges.shape[0] != 3:
+            raise ValueError("expects [3, B] hyperedges")
+        rn = nodes[hedges]       # [3, B, L]
+        rh = khi[hedges]
+        rl = klo[hedges]
+        rs = sizes[hedges]
+        pairs = [(0, 2), (2, 0), (1, 2), (2, 1)]   # (anchor, cross)
+        khi_list, klo_list, masks = [], [], []
+        for a, b in pairs:
+            chi, clo = _cross_lookup_multi(rn[a], rn[b], rh[b], rl[b])
+            khi_list.append(jnp.stack([rh[a], chi], axis=-1))
+            klo_list.append(jnp.stack([rl[a], clo], axis=-1))
+            masks.append(rn[a] != INT32_MAX)
+        feats = unpack_key_features(jnp.stack(khi_list),
+                                    jnp.stack(klo_list),
+                                    num_walks, num_steps)
+        sizes_out = jnp.stack([rs[0], rs[2], rs[1], rs[2]])
+        return JoinedBatch(eidx=feats, mask=jnp.stack(masks),
+                           sizes=sizes_out)
+
+    return join
+
+
 def hgather_join(nodes: jax.Array, eidx: jax.Array, sizes: jax.Array,
                  hedges: jax.Array) -> JoinedBatch:
     """Higher-order join for 3-node queries (u, v, w), reproducing `hgather`

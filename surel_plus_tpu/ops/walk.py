@@ -296,30 +296,27 @@ def _build_sets_packed_block(seeds: jax.Array, walks: jax.Array,
     nodes = jnp.concatenate(
         [seeds[:, None], walks.reshape(block, num_walks * num_steps)],
         axis=1)
-    # static per-visit columns and packed field contributions (root visit:
-    # col 0 -> no field)
-    cols_np = np.concatenate([
-        np.zeros((1,), np.int32),
-        np.broadcast_to(np.arange(1, num_steps + 1, dtype=np.int32)[None, :],
-                        (num_walks, num_steps)).reshape(-1),
-    ])
-    lo_contrib = np.zeros(visits, np.uint32)
-    hi_contrib = np.zeros(visits, np.uint32)
-    for j in range(1, num_steps + 1):
-        sel = cols_np == j
-        if starts[j] < 32:
-            lo_contrib[sel] = np.uint32(1) << np.uint32(starts[j])
-        else:
-            hi_contrib[sel] = np.uint32(1) << np.uint32(starts[j] - 32)
+    # sort visits by node id carrying only the visit position; the walk
+    # column (and its packed field contribution) is derived from the
+    # position arithmetically — one payload operand instead of three
+    # (sort cost scales with operand count)
+    vpos0 = jnp.broadcast_to(
+        jnp.arange(visits, dtype=jnp.int32)[None, :], (block, visits))
+    snodes, svpos = jax.lax.sort((nodes, vpos0), dimension=1, num_keys=1)
 
-    # sort visits by node id, carrying the field contributions
-    snodes, s_lo, s_hi = jax.lax.sort(
-        (nodes,
-         jnp.broadcast_to(jnp.asarray(lo_contrib)[None, :],
-                          (block, visits)),
-         jnp.broadcast_to(jnp.asarray(hi_contrib)[None, :],
-                          (block, visits))),
-        dimension=1, num_keys=1)
+    # visit layout: position 0 is the root (col 0); positions 1.. are the
+    # flattened [num_walks, num_steps] walk matrix -> col = (p-1) % S + 1
+    scols = jnp.where(svpos == 0, 0,
+                      (svpos - 1) % num_steps + 1).astype(jnp.int32)
+    s_lo = jnp.zeros((block, visits), jnp.uint32)
+    s_hi = jnp.zeros((block, visits), jnp.uint32)
+    for j in range(1, num_steps + 1):
+        sel = scols == j
+        if starts[j] < 32:
+            s_lo = jnp.where(sel, s_lo | jnp.uint32(1 << starts[j]), s_lo)
+        else:
+            s_hi = jnp.where(
+                sel, s_hi | jnp.uint32(1 << (starts[j] - 32)), s_hi)
 
     first = jnp.concatenate([
         jnp.ones((block, 1), dtype=bool),

@@ -307,12 +307,16 @@ class DeviceTrainer:
 
 
 def trainer_from_keys(model, spgk, config: TrainConfig,
-                      feature=None) -> DeviceTrainer:
+                      feature=None, join_factory=None) -> DeviceTrainer:
     """DeviceTrainer over a packed-key SpG (SpGKeys): the join unpacks
-    landing-count features on the fly, no dedup/table stage."""
+    landing-count features on the fly, no dedup/table stage.
+    `join_factory(num_walks, num_steps)` defaults to the 2-endpoint link
+    join; pass ops.join.make_keys_hjoin for 3-node hyperedge queries."""
     from surel_plus_tpu.ops.join import make_keys_join
 
-    join = make_keys_join(spgk.num_walks, spgk.num_steps)
+    if join_factory is None:
+        join_factory = make_keys_join
+    join = join_factory(spgk.num_walks, spgk.num_steps)
 
     dev = SpGDevice(nodes=spgk.nodes, eidx=spgk.nodes, sizes=spgk.sizes,
                     enc=jnp.zeros((1, 1), jnp.float32))

@@ -43,6 +43,24 @@ def test_keys_join_matches_table_join(both):
                                np.asarray(keys_out.eidx), rtol=1e-6)
 
 
+def test_keys_hjoin_matches_table(both):
+    from surel_plus_tpu.ops.join import hgather_join, make_keys_hjoin
+
+    dev, spgk = both
+    rng = np.random.default_rng(2)
+    hedges = jnp.asarray(rng.integers(0, 300, size=(3, 8)).astype(np.int32))
+    table_out = hgather_join(dev.nodes, dev.eidx, dev.sizes, hedges)
+    table_feats = dev.enc[table_out.eidx]        # [4, B, L, 2, ncol]
+    hjoin = make_keys_hjoin(M, S)
+    keys_out = hjoin(spgk.nodes, spgk.khi, spgk.klo, spgk.sizes, hedges)
+    np.testing.assert_array_equal(np.asarray(table_out.mask),
+                                  np.asarray(keys_out.mask))
+    np.testing.assert_array_equal(np.asarray(table_out.sizes),
+                                  np.asarray(keys_out.sizes))
+    np.testing.assert_allclose(np.asarray(table_feats),
+                               np.asarray(keys_out.eidx), rtol=1e-6)
+
+
 def test_keys_trainer_trains(both):
     dev, spgk = both
     cfg = TrainConfig(batch_size=64, lr=3e-3)
