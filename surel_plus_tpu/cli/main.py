@@ -81,7 +81,7 @@ def _scalar_pipeline(cfg, G, logger, save_load: bool = False):
     else:
         idx = np.arange(G.num_nodes)
         x = topk_ppr_matrix(G, cfg.alpha, cfg.eps, idx, cfg.topk,
-                            normalization="sym")
+                            normalization="sym", nthreads=cfg.nthread)
         if save_load and cfg.save_ppr:
             save_npz(ppr_path, x.tocsr())
     x, _ = encoding(x.tocsr(), G.to_scipy(), cfg.sencoder)

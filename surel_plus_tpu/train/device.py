@@ -346,7 +346,7 @@ def evaluate_device(trainer: DeviceTrainer, params, inf_edge,
 
     if "Hits" in metric:
         results = {}
-        for k in (10, 50, 100):
+        for k in (10, 20, 50, 100):
             results[f"Hits@{k}"] = (
                 0,
                 float(device_hits_at_k(pos_v, neg_v, k)),

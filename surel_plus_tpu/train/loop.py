@@ -195,7 +195,7 @@ def evaluate(predictor: LinkPredictor, params, inf_edge: Dict,
 
     if "Hits" in metric:
         results = {}
-        for k in (10, 50, 100):
+        for k in (10, 20, 50, 100):
             results[f"Hits@{k}"] = (
                 0,
                 metrics_ops.hits_at_k(pos_v, neg_v, k),

@@ -45,6 +45,8 @@ class ExperimentConfig:
     runs: int = 1
     seed: int = 0
     # infra
+    log_steps: int = 1
+    nthread: int = -1
     engine: str = "auto"               # auto | host | device
     metric: str = "MRR"
     log_dir: str = "./log/"

@@ -56,7 +56,8 @@ class ResultLogger:
         self.early_stop = early_stop
         if "Hits" in metric:
             self.results: Union[Dict, list] = {
-                f"Hits@{k}": [[] for _ in range(runs)] for k in (10, 50, 100)}
+                f"Hits@{k}": [[] for _ in range(runs)]
+                for k in (10, 20, 50, 100)}
         else:
             self.results = [[] for _ in range(runs)]
 

@@ -106,7 +106,7 @@ def test_device_trainer_epoch(setup):
     inf = {"valid": (edges[:, :64], edges[:, 350:414]),
            "test": (edges[:, 64:128], edges[:, 414:478])}
     res, _ = evaluate_device(trainer, params, inf, "Hits@50")
-    assert set(res) == {"Hits@10", "Hits@50", "Hits@100"}
+    assert set(res) == {"Hits@10", "Hits@20", "Hits@50", "Hits@100"}
     (auc_t, auc_v, auc_te), _ = evaluate_device(trainer, params, inf, "AUC")
     assert 0.0 <= auc_te <= 1.0
     mrr_res, _ = evaluate_device(trainer, params, inf, "MRR")

@@ -53,7 +53,7 @@ def test_train_improves(pipeline):
                              rng=np.random.default_rng(2))
     inf_edge = {"valid": val, "test": test}
     results, t_inf = evaluate(pred, params, inf_edge, "Hits@50")
-    assert set(results) == {"Hits@10", "Hits@50", "Hits@100"}
+    assert set(results) == {"Hits@10", "Hits@20", "Hits@50", "Hits@100"}
     for k, (tr, va, te) in results.items():
         assert 0.0 <= va <= 1.0 and 0.0 <= te <= 1.0
     # AUC metric path
