@@ -51,11 +51,16 @@ def shuffled_indices_for(graph: CSRGraph, seed: int):
         object.__setattr__(graph, "_device_cache", cache)
     key = ("shuffle", seed)
     if key not in cache:
-        rng = np.random.default_rng(seed)
-        row_ids = np.repeat(np.arange(graph.num_nodes, dtype=np.int64),
-                            graph.degrees().astype(np.int64))
-        order = np.lexsort((rng.random(graph.num_edges), row_ids))
-        cache[key] = jnp.asarray(graph.indices[order])
+        from surel_plus_tpu.graph.native import shuffle_rows_native
+
+        shuffled = shuffle_rows_native(graph, seed)  # C++/OpenMP O(E)
+        if shuffled is None:  # toolchain-less fallback
+            rng = np.random.default_rng(seed)
+            row_ids = np.repeat(np.arange(graph.num_nodes, dtype=np.int64),
+                                graph.degrees().astype(np.int64))
+            order = np.lexsort((rng.random(graph.num_edges), row_ids))
+            shuffled = graph.indices[order]
+        cache[key] = jnp.asarray(shuffled)
     return cache[key]
 
 
