@@ -94,6 +94,9 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
     if logger is None:
         logger = set_up_log(cfg.log_dir, cfg.dataset,
                             args_repr=str(dataclasses.asdict(cfg)))
+    if cfg.debug:
+        from surel_plus_tpu.utils.logger import capture_stdout
+        capture_stdout(logger)
 
     if "mag" in cfg.dataset:
         ds = load_hetero(cfg, rng)

@@ -19,6 +19,35 @@ import numpy as np
 ResultTuple = tuple  # (train, valid, test)
 
 
+class _StreamToLogger:
+    """Redirects a text stream into a logger (the reference's
+    streamtologger `--debug` capture, logger.py:48-49)."""
+
+    def __init__(self, logger: logging.Logger, level: int = logging.DEBUG):
+        self._logger = logger
+        self._level = level
+        self._buf = ""
+
+    def write(self, msg: str):
+        self._buf += msg
+        while "\n" in self._buf:
+            line, self._buf = self._buf.split("\n", 1)
+            if line.strip():
+                self._logger.log(self._level, line)
+
+    def flush(self):
+        if self._buf.strip():
+            self._logger.log(self._level, self._buf)
+        self._buf = ""
+
+
+def capture_stdout(logger: logging.Logger) -> None:
+    """Route print()s into the log file (reference `--debug` mode)."""
+    import sys
+
+    sys.stdout = _StreamToLogger(logger)
+
+
 def set_up_log(log_dir: str, dataset: str, args_repr: str = "",
                stamp: Optional[str] = None) -> logging.Logger:
     """File (DEBUG) + console (WARN) handlers (logger.py:30-50)."""
