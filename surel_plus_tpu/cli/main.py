@@ -237,13 +237,31 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
             jax.random.PRNGKey(cfg.seed + run),
             edges[:, :cfg.batch_size])
         key = jax.random.PRNGKey(cfg.seed + 1000 + run)
-        for epoch in range(cfg.epochs):
+        start_epoch = 0
+        if cfg.resume and run == 0:
+            # mid-training resume (beyond the reference, which can only
+            # reload for inference — main.py:221-228): restores params,
+            # optimizer state, epoch, and the epoch PRNG key
+            state = load_checkpoint(cfg.resume, target={
+                "params": params, "opt_state": opt_state,
+                "epoch": np.asarray(0), "key": np.asarray(key)})
+            params, opt_state = state["params"], state["opt_state"]
+            start_epoch = int(state["epoch"]) + 1
+            key = jax.numpy.asarray(state["key"])
+            logger.info("resumed from %s at epoch %d", cfg.resume,
+                        start_epoch)
+        for epoch in range(start_epoch, cfg.epochs):
             key, sub = jax.random.split(key)
             params, opt_state, loss, auc = run_epoch(params, opt_state,
                                                      sub)
             logger.info("Run: %02d, Epoch: %02d, Loss: %.4f, AUC: %.4f",
                         run + 1, epoch, loss, auc)
             if epoch % cfg.eval_steps == 0:
+                save_checkpoint(
+                    {"params": params, "opt_state": opt_state,
+                     "epoch": np.asarray(epoch),
+                     "key": np.asarray(key)},
+                    f"{cfg.log_dir}/{cfg.dataset}/model/latest_{run}")
                 results, d_inf = run_eval(params)
                 logger.info("eval: %s (T_test %.2f)", results, d_inf)
                 if rlog.add_result(run, results):

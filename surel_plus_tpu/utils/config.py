@@ -51,6 +51,7 @@ class ExperimentConfig:
     metric: str = "MRR"
     log_dir: str = "./log/"
     load_model: Optional[str] = None
+    resume: Optional[str] = None
     inf_only: bool = False
     save_ppr: bool = False
     load_ppr: bool = False
