@@ -149,28 +149,43 @@ def unpack_key_features(khi: jax.Array, klo: jax.Array, num_walks: int,
     return feats / num_walks
 
 
-def make_keys_join(num_walks: int, num_steps: int):
+def make_keys_join(num_walks: int, num_steps: int, impl: str = "merge"):
     """Returns a join function over an SpGKeys layout producing float
     feature pairs directly (JoinedBatch.eidx [2, B, L, 2, ncol] float32):
     the anchor slot's unpacked encoding paired with the partner's (zero
-    vector if absent — key 0 unpacks to the zero row)."""
+    vector if absent — key 0 unpacks to the zero row).
+
+    impl: 'merge' (sort-based, default) or 'pallas' (in-VMEM equality
+    contraction kernel, ops/pallas/join_kernel.py; batch must be a
+    multiple of its ROWS tile)."""
 
     def join(nodes, khi, klo, sizes, edges):
         return join_gathered_keys(nodes[edges], khi[edges], klo[edges],
-                                  sizes[edges], num_walks, num_steps)
+                                  sizes[edges], num_walks, num_steps,
+                                  impl=impl)
 
     return join
 
 
 def join_gathered_keys(rows_nodes, rows_hi, rows_lo, rows_sizes,
-                       num_walks: int, num_steps: int) -> JoinedBatch:
+                       num_walks: int, num_steps: int,
+                       impl: str = "merge") -> JoinedBatch:
     """Keys join over pre-gathered rows ([2, B, L] each) — used directly
     by the distributed path, where rows arrive via sharded psum gathers."""
     nu, nv = rows_nodes[0], rows_nodes[1]
-    cross_hi_u, cross_lo_u = _cross_lookup_multi(
-        nu, nv, rows_hi[1], rows_lo[1])
-    cross_hi_v, cross_lo_v = _cross_lookup_multi(
-        nv, nu, rows_hi[0], rows_lo[0])
+    if impl == "pallas":
+        from surel_plus_tpu.ops.pallas.join_kernel import (
+            pallas_cross_lookup_pair)
+
+        cross_hi_u, cross_lo_u = pallas_cross_lookup_pair(
+            nu, nv, rows_hi[1], rows_lo[1])
+        cross_hi_v, cross_lo_v = pallas_cross_lookup_pair(
+            nv, nu, rows_hi[0], rows_lo[0])
+    else:
+        cross_hi_u, cross_lo_u = _cross_lookup_multi(
+            nu, nv, rows_hi[1], rows_lo[1])
+        cross_hi_v, cross_lo_v = _cross_lookup_multi(
+            nv, nu, rows_hi[0], rows_lo[0])
     khi_pairs = jnp.stack([
         jnp.stack([rows_hi[0], cross_hi_u], axis=-1),
         jnp.stack([rows_hi[1], cross_hi_v], axis=-1),

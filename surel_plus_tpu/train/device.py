@@ -46,7 +46,7 @@ def riffle_permutation(key: jax.Array, rows: int, cols: int,
     reference's uniform shuffle: batch composition is pseudorandom rather
     than uniformly random — gradient-equivalent for SGD purposes)."""
     idx = jnp.arange(rows * cols, dtype=jnp.int32).reshape(rows, cols)
-    for r in range(rounds):
+    for _ in range(rounds):
         key, k1, k2 = jax.random.split(key, 3)
         rk = jax.random.bits(k1, (rows, cols), dtype=jnp.uint32)
         _, idx = jax.lax.sort((rk, idx), dimension=1, num_keys=1)
