@@ -28,6 +28,15 @@ from surel_plus_tpu.ops import walk as walk_ops
 log = logging.getLogger(__name__)
 
 
+def gen_batch(iterable, n: int = 1, keep: bool = False):
+    """Batch iterator (reference random_walks.py:25-32: `keep` retains the
+    final partial batch)."""
+    length = len(iterable)
+    stop = length if keep else length - n
+    for ndx in range(0, stop, n):
+        yield iterable[ndx:min(ndx + n, length)]
+
+
 def walk_sampler(graph: CSRGraph, seeds: np.ndarray, num_walks: int = 100,
                  num_steps: int = 3, replacement: bool = True,
                  seed: int = 111413, bucket: Optional[int] = None,

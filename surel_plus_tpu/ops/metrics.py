@@ -66,6 +66,12 @@ def roc_auc(labels: np.ndarray, scores: np.ndarray) -> float:
     return float((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg))
 
 
+def evaluate_hits(pos_pred: np.ndarray, neg_pred: np.ndarray) -> dict:
+    """Hits at the reference's standard cutoffs (utils.py:42-52)."""
+    return {f"Hits@{k}": hits_at_k(pos_pred, neg_pred, k)
+            for k in (10, 20, 50, 100)}
+
+
 class Evaluator:
     """Drop-in for `ogb.linkproppred.Evaluator` over the metrics the
     reference uses (hits@K with settable .K, mrr_list, rocauc)."""
