@@ -105,7 +105,7 @@ def gather_join_scalar(nodes, values, sizes, edges):
     value pairs [2, B, L, 2]."""
     import jax.numpy as jnp
 
-    from surel_plus_tpu.ops.join import JoinedBatch, _cross_lookup
+    from surel_plus_tpu.ops.join import JoinedBatch
 
     rows_nodes = nodes[edges]
     rows_vals = values[edges]
