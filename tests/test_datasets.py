@@ -67,6 +67,27 @@ def test_get_pos_neg_edges_source_target():
     assert np.all(neg[0, :7] == pos[0, 0])
 
 
+def test_link_dataset_weighted():
+    import dataclasses
+
+    raw = synthetic_link_data(num_nodes=200, num_edges=1000, seed=5)
+    rng = np.random.default_rng(0)
+    raw = dataclasses.replace(
+        raw, edge_weight=rng.integers(1, 5, raw.split_edge["train"]
+                                      ["edge"].shape[0]).astype(np.float32))
+    # weights live alongside the train edges in OGB's collab layout
+    raw.split_edge["train"]["weight"] = raw.edge_weight
+    raw.split_edge["valid"]["weight"] = np.ones(
+        len(raw.split_edge["valid"]["edge"]), np.float32)
+    ds = LinkPropDataset(raw, mask_ratio=0.1, use_weight=True,
+                         use_coalesce=True, use_val=True,
+                         rng=np.random.default_rng(0))
+    graphs = ds.process()
+    sp = graphs["train"].to_scipy()
+    assert sp.data.max() > 1  # weights survived into the CSR
+    assert (sp != sp.T).nnz == 0
+
+
 def test_hyper_dataset():
     ds = synthetic_hyper_data(num_nodes=100, num_triplets=300, seed=0)
     g = ds.process()

@@ -119,6 +119,30 @@ def test_distributed_keys_step(setup):
     assert np.isclose(float(loss), want, rtol=1e-5), (float(loss), want)
 
 
+def test_a2a_gather_matches_psum(setup):
+    from jax.sharding import PartitionSpec as P
+
+    from surel_plus_tpu.parallel.dist import (
+        dist_gather_rows, dist_gather_rows_a2a, shard_spg)
+
+    g, spg, _ = setup
+    mesh = make_mesh(8, graph_axis=4)
+    sspg = shard_spg(spg, mesh)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 200, size=(2, 16)).astype(np.int32))
+
+    def run(fn):
+        def local(nodes, ids):
+            return fn(nodes, ids, sspg.rows_per_shard)
+        return jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("graph", None), P()),
+            out_specs=P(), check_vma=False))(sspg.nodes, ids)
+
+    np.testing.assert_array_equal(np.asarray(run(dist_gather_rows)),
+                                  np.asarray(run(dist_gather_rows_a2a)))
+
+
 def test_sharded_sampling(setup):
     """Seed-sharded sampling produces valid sets on every shard (root
     membership + mass conservation per seed)."""
