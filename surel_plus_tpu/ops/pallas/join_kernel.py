@@ -41,16 +41,19 @@ def _join_kernel(na_ref, nb_ref, hib_ref, lob_ref, chi_ref, clo_ref):
     eq_f = eq.astype(jnp.float32)      # [R, L, L]
 
     def contract(payload_u32):
-        # split into exact-in-f32 16-bit halves
-        hi16 = (payload_u32 >> jnp.uint32(16)).astype(jnp.float32)
-        lo16 = (payload_u32 & jnp.uint32(0xFFFF)).astype(jnp.float32)
+        # split into exact-in-f32 16-bit halves (cast via int32: Mosaic
+        # has no uint32<->f32 casts; halves are < 2^16 so int32 is safe)
+        hi16 = (payload_u32 >> jnp.uint32(16)).astype(jnp.int32) \
+            .astype(jnp.float32)
+        lo16 = (payload_u32 & jnp.uint32(0xFFFF)).astype(jnp.int32) \
+            .astype(jnp.float32)
         halves = jnp.stack([hi16, lo16], axis=-1)   # [R, L, 2]
         out = jax.lax.dot_general(
             eq_f, halves,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)      # [R, L, 2]
-        hi = out[:, :, 0].astype(jnp.uint32)
-        lo = out[:, :, 1].astype(jnp.uint32)
+        hi = out[:, :, 0].astype(jnp.int32).astype(jnp.uint32)
+        lo = out[:, :, 1].astype(jnp.int32).astype(jnp.uint32)
         return (hi << jnp.uint32(16)) | lo
 
     chi_ref[:] = contract(hib.astype(jnp.uint32))
