@@ -322,51 +322,58 @@ def _build_sets_packed_block(seeds: jax.Array, walks: jax.Array,
         jnp.ones((block, 1), dtype=bool),
         snodes[:, 1:] != snodes[:, :-1],
     ], axis=1)
-    compact = jnp.cumsum(first, axis=1).astype(jnp.int32) - 1
-    sizes = jnp.minimum(compact[:, -1] + 1, bucket)
+    n_uniq = jnp.sum(first, axis=1).astype(jnp.int32)
+    sizes = jnp.minimum(n_uniq, bucket)
 
-    # Slot starts via one more row sort instead of a binary search (the
-    # search's take_along_axis gathers run near one element per cycle on
-    # TPU; sorts are lane-vectorized): sort (first ? slot : MAX) carrying
-    # the visit position and node id — the first `bucket` entries are each
-    # slot's start position and unique node.
-    vpos = jnp.broadcast_to(
-        jnp.arange(visits, dtype=jnp.int32)[None, :], (block, visits))
-    slot_key = jnp.where(first, compact, jnp.int32(0x7FFFFFFF))
-    _, spos_sorted, snode_sorted = jax.lax.sort(
-        (slot_key, vpos, snodes), num_keys=1)
-    if visits >= bucket:
-        pos = spos_sorted[:, :bucket]
-        nodes_out = snode_sorted[:, :bucket]
-    else:
+    # Exclusive prefix sums of the field contributions (uint32 modular —
+    # exact per segment, see above): the sum over slot s's segment equals
+    # P[start(s+1)] - P[start(s)].
+    pre_lo = jnp.cumsum(s_lo, axis=1, dtype=jnp.uint32)
+    pre_hi = jnp.cumsum(s_hi, axis=1, dtype=jnp.uint32)
+    excl_lo = pre_lo - s_lo
+    excl_hi = pre_hi - s_hi
+
+    # One compaction sort moves segment-start entries to the front in node
+    # order, carrying each start's exclusive prefix: adjacent differences
+    # of the carried prefixes ARE the per-slot packed keys — no
+    # boundary-position gathers at all (take_along_axis runs near one
+    # element per cycle on TPU).
+    key2 = jnp.where(first, snodes, INT32_MAX)
+    k2, p_lo, p_hi = jax.lax.sort((key2, excl_lo, excl_hi), num_keys=1)
+    if visits < bucket:
         padw = bucket - visits
-        pos = jnp.concatenate(
-            [spos_sorted, jnp.full((block, padw), visits, jnp.int32)],
-            axis=1)
-        nodes_out = jnp.concatenate(
-            [snode_sorted, jnp.full((block, padw), INT32_MAX, jnp.int32)],
-            axis=1)
+        k2 = jnp.concatenate(
+            [k2, jnp.full((block, padw), INT32_MAX, jnp.int32)], axis=1)
+        p_lo = jnp.concatenate(
+            [p_lo, jnp.zeros((block, padw), jnp.uint32)], axis=1)
+        p_hi = jnp.concatenate(
+            [p_hi, jnp.zeros((block, padw), jnp.uint32)], axis=1)
+    # next-start prefixes taken BEFORE truncation: when n_uniq > bucket the
+    # last kept slot's segment must end at the first dropped segment's
+    # start (overflow counts are dropped, matching the C kernel's behavior
+    # subg_acc.c:826-836), not at the visit total.
+    if p_lo.shape[1] > bucket:
+        next_lo = p_lo[:, 1:bucket + 1]
+        next_hi = p_hi[:, 1:bucket + 1]
+    else:
+        next_lo = jnp.concatenate([p_lo[:, 1:], pre_lo[:, -1:]], axis=1)
+        next_hi = jnp.concatenate([p_hi[:, 1:], pre_hi[:, -1:]], axis=1)
+    nodes_out = k2[:, :bucket]
+    p_lo = p_lo[:, :bucket]
+    p_hi = p_hi[:, :bucket]
+
     slots = jnp.arange(bucket, dtype=jnp.int32)
     valid = slots[None, :] < sizes[:, None]
     nodes_out = jnp.where(valid, nodes_out, INT32_MAX)
-    pos = jnp.where(valid, pos, visits)
 
-    # segmented sums via modular prefix differences
-    pre_lo = jnp.cumsum(s_lo, axis=1, dtype=jnp.uint32)
-    pre_hi = jnp.cumsum(s_hi, axis=1, dtype=jnp.uint32)
-    # end position of slot s = start of slot s+1 (last slot ends at V)
-    pos_next = jnp.concatenate(
-        [pos[:, 1:], jnp.full((block, 1), visits, jnp.int32)], axis=1)
-    pos_next = jnp.where(valid, pos_next, pos)  # empty slots -> zero sum
-
-    def prefix_at(pre, p):
-        # inclusive prefix before position p (p==0 -> 0)
-        safe = jnp.clip(p - 1, 0, visits - 1)
-        v = jnp.take_along_axis(pre, safe, axis=1)
-        return jnp.where(p > 0, v, jnp.uint32(0))
-
-    lo_keys = prefix_at(pre_lo, pos_next) - prefix_at(pre_lo, pos)
-    hi_keys = prefix_at(pre_hi, pos_next) - prefix_at(pre_hi, pos)
+    # the last real slot of an UNtruncated row ends at the visit total
+    # (its successor entry in the compaction sort is sentinel garbage)
+    is_last_untrunc = (slots[None, :] == sizes[:, None] - 1) \
+        & (n_uniq <= bucket)[:, None]
+    next_lo = jnp.where(is_last_untrunc, pre_lo[:, -1:], next_lo)
+    next_hi = jnp.where(is_last_untrunc, pre_hi[:, -1:], next_hi)
+    lo_keys = jnp.where(valid, next_lo - p_lo, 0)
+    hi_keys = jnp.where(valid, next_hi - p_hi, 0)
 
     is_root = (nodes_out == seeds[:, None]).astype(jnp.uint32)
     if lead_bit < 32:

@@ -142,6 +142,28 @@ def test_step0_without_replacement():
     assert cnts == [num_walks // deg] * deg
 
 
+def test_bucket_truncation_preserves_kept_counts():
+    """With bucket < unique count, the kept (smallest-id) slots must carry
+    exactly their own landing counts — overflow counts are dropped, like
+    the C kernel (subg_acc.c:826-836)."""
+    g = rmat_graph(100, 800, seed=4)
+    seeds = np.arange(32, dtype=np.int32)
+    full = sample_gsets(g, seeds, num_walks=8, num_steps=2, seed=5,
+                        block_size=32)
+    small = sample_gsets(g, seeds, num_walks=8, num_steps=2, seed=5,
+                         block_size=32, bucket=4)
+    assert small.bucket == 4
+    for i in range(32):
+        k = small.sizes[i]
+        assert k == min(full.sizes[i], 4)
+        # kept nodes are the smallest node ids of the full set
+        np.testing.assert_array_equal(small.nodes[i, :k],
+                                      full.nodes[i, :k])
+        want = full.enc[full.eidx[i, :k]]
+        got = small.enc[small.eidx[i, :k]]
+        np.testing.assert_array_equal(got, want)
+
+
 def test_determinism():
     g = rmat_graph(200, 800, seed=5)
     seeds = np.arange(g.num_nodes, dtype=np.int32)
