@@ -73,6 +73,31 @@ class CSRGraph:
         )
 
 
+# above this edge count the C++/OpenMP counting-sort builder
+# (native/graphkit.cpp:build_csr_w) replaces the numpy lexsort path —
+# same semantics (duplicate weights summed, rows ascending), O(E) not
+# O(E log E), parallel.
+NATIVE_BUILD_THRESHOLD = 2_000_000
+
+
+def coalesce_edge_list(edges: np.ndarray, weights: np.ndarray):
+    """Deduplicate directed (u, v) pairs summing weights, sorted by (u, v)
+    — the torch_sparse.coalesce semantics the reference applies to the
+    train edge list before mask splitting (dataloader.py:41-45)."""
+    edges = np.asarray(edges, dtype=np.int64)
+    weights = np.asarray(weights)
+    order = np.lexsort((edges[:, 1], edges[:, 0]))
+    e, w = edges[order], weights[order]
+    if not len(e):
+        return e, w
+    new = np.empty(len(e), dtype=bool)
+    new[0] = True
+    new[1:] = (e[1:, 0] != e[:-1, 0]) | (e[1:, 1] != e[:-1, 1])
+    seg = np.cumsum(new) - 1
+    w_out = np.bincount(seg, weights=w).astype(weights.dtype)
+    return e[new], w_out
+
+
 def csr_from_edges(
     edges: np.ndarray,
     num_nodes: Optional[int] = None,
@@ -80,14 +105,28 @@ def csr_from_edges(
     symmetrize: bool = True,
     coalesce: bool = True,
     drop_self_loops: bool = True,
+    prefer_native: Optional[bool] = None,
 ) -> CSRGraph:
     """Build a CSR graph from an edge list of shape [E, 2].
 
     Mirrors the reference pipeline `csr_matrix(...) ; G = A + A^T` with
     zero-diagonal assertion (dataloader.py:118-138): symmetrize sums weights
     of (u,v) and (v,u); coalesce sums duplicate entries.
+
+    `prefer_native=None` auto-selects the native O(E) builder above
+    NATIVE_BUILD_THRESHOLD edges; True/False force either path.
     """
     edges = np.asarray(edges, dtype=np.int64)
+    if prefer_native is None:
+        prefer_native = len(edges) >= NATIVE_BUILD_THRESHOLD
+    if prefer_native and len(edges) and int(edges.max()) < 2**31 - 1:
+        from surel_plus_tpu.graph.native import build_csr_weighted_native
+        g = build_csr_weighted_native(
+            edges, weights=weights, num_nodes=num_nodes,
+            symmetrize=symmetrize, coalesce=coalesce,
+            drop_self_loops=drop_self_loops)
+        if g is not None:
+            return g
     if edges.ndim != 2 or edges.shape[1] != 2:
         raise ValueError(f"edges must be [E, 2], got {edges.shape}")
     if num_nodes is None:

@@ -151,6 +151,13 @@ class LinkPropDataset:
                 raw.split_edge["train"]["edge"], dtype=np.int64)
         self.train_weight = (np.asarray(raw.edge_weight)
                              if self.use_weight else None)
+        if self.use_weight and use_coalesce:
+            # the reference coalesces the train edge list BEFORE the mask
+            # split (dataloader.py:41-45) — this changes which edges get
+            # masked, not just the weights
+            from surel_plus_tpu.graph.csr import coalesce_edge_list
+            self.train_edge, self.train_weight = coalesce_edge_list(
+                self.train_edge, self.train_weight)
         self.len_train = len(self.train_edge)
 
         if use_feature and raw.x is not None and vessel_mode:
@@ -206,8 +213,12 @@ class LinkPropDataset:
             inf_edge, inf_w = None, None
 
         n = self.num_nodes
+        # always coalesce at CSR build: the reference's scipy
+        # csr_matrix((w, (r, c))) sums duplicate entries unconditionally
+        # (dataloader.py:120-122); use_coalesce only governs the edge-list
+        # coalescing applied in __init__
         G_obsrv = csr_from_edges(obsrv_edge, num_nodes=n, weights=obsrv_w,
-                                 coalesce=self.use_coalesce or True)
+                                 coalesce=True)
         G_val = csr_from_edges(val_edge, num_nodes=n, weights=val_w)
         if self.use_val:
             G_full = csr_from_edges(inf_edge, num_nodes=n, weights=inf_w)

@@ -44,6 +44,13 @@ def _native_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)]
+        lib.build_csr_w.restype = ctypes.c_int64
+        lib.build_csr_w.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float)]
         lib.shuffle_rows.restype = None
         lib.shuffle_rows.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
@@ -85,6 +92,41 @@ def build_csr_native(edges: np.ndarray, num_nodes: Optional[int] = None,
                           _p64(indptr), _p32(indices))
     return CSRGraph(indptr=indptr.astype(np.int32),
                     indices=indices[:total])
+
+
+def build_csr_weighted_native(
+        edges: np.ndarray, weights: Optional[np.ndarray] = None,
+        num_nodes: Optional[int] = None, symmetrize: bool = True,
+        coalesce: bool = True,
+        drop_self_loops: bool = True) -> Optional[CSRGraph]:
+    """O(E) parallel weighted CSR build with duplicate coalescing —
+    semantics identical to the numpy `csr_from_edges` path (sum of
+    duplicate-edge weights, rows sorted ascending). Returns None when the
+    native library is unavailable."""
+    lib = _native_lib()
+    if lib is None:
+        return None
+    edges = np.ascontiguousarray(edges, np.int32)
+    if num_nodes is None:
+        num_nodes = int(edges.max()) + 1 if len(edges) else 0
+    src = np.ascontiguousarray(edges[:, 0])
+    dst = np.ascontiguousarray(edges[:, 1])
+    if weights is None:
+        wptr = ctypes.POINTER(ctypes.c_float)()
+    else:
+        weights = np.ascontiguousarray(weights, np.float32)
+        wptr = weights.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    cap = len(edges) * (2 if symmetrize else 1)
+    indptr = np.zeros(num_nodes + 1, np.int64)
+    indices = np.zeros(cap, np.int32)
+    wout = np.zeros(cap, np.float32)
+    total = lib.build_csr_w(
+        _p32(src), _p32(dst), wptr, len(edges), num_nodes, int(symmetrize),
+        int(drop_self_loops), int(coalesce), _p64(indptr), _p32(indices),
+        wout.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return CSRGraph(indptr=indptr.astype(np.int32),
+                    indices=indices[:total].copy(),
+                    data=wout[:total].copy())
 
 
 def shuffle_rows_native(graph: CSRGraph, seed: int) -> Optional[np.ndarray]:
