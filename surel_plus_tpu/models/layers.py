@@ -95,29 +95,48 @@ class LSTMAggregation(nn.Module):
 
     Padded slots (mask False) leave the carry unchanged, so the final carry
     equals the hidden state after the last real element.
+
+    TPU layout: all four input-gate projections for every step run as ONE
+    batched [B*L, h] x [h, 4H] matmul hoisted out of the scan (the MXU
+    does the heavy lifting once); the sequential part is only the small
+    [B, H] x [H, 4H] hidden matmul + pointwise gates per step. Gate chunk
+    order is (i, f, g, o) — torch nn.LSTM's stacking, so weights transfer
+    directly (weight_ih = wi.T, weight_hh = wh.T, bias_hh = bh,
+    bias_ih = 0).
     """
 
     hidden_dim: int
+    unroll: int = 8
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
         *batch_shape, L, h = x.shape
+        H = self.hidden_dim
         xf = x.reshape((-1, L, h))
         mf = mask.reshape((-1, L))
-        cell = nn.OptimizedLSTMCell(self.hidden_dim)
-        carry0 = cell.initialize_carry(jax.random.PRNGKey(0),
-                                       (xf.shape[0], h))
+        B = xf.shape[0]
 
-        def step(cell, carry, inp):
-            xt, mt = inp
-            new_carry, _ = cell(carry, xt)
+        wi = self.param("wi", xavier_normal, (h, 4 * H))
+        wh = self.param("wh", xavier_normal, (H, 4 * H))
+        bh = self.param("bh", nn.initializers.zeros, (4 * H,))
+
+        xproj = xf @ wi                     # [B, L, 4H] one MXU matmul
+        carry0 = (jnp.zeros((B, H), xproj.dtype),
+                  jnp.zeros((B, H), xproj.dtype))
+
+        def step(carry, inp):
+            c, hid = carry
+            xp, mt = inp
+            gates = xp + hid @ wh + bh
+            gi, gf, gg, go = jnp.split(gates, 4, axis=-1)
+            new_c = jax.nn.sigmoid(gf) * c + (jax.nn.sigmoid(gi)
+                                              * jnp.tanh(gg))
+            new_h = jax.nn.sigmoid(go) * jnp.tanh(new_c)
             keep = mt[:, None]
-            carry = jax.tree.map(
-                lambda new, old: jnp.where(keep, new, old), new_carry, carry)
-            return carry, None
+            return (jnp.where(keep, new_c, c),
+                    jnp.where(keep, new_h, hid)), None
 
-        scan = nn.scan(step, variable_broadcast="params",
-                       split_rngs={"params": False},
-                       in_axes=1, out_axes=1)
-        (c, hidden), _ = scan(cell, carry0, (xf, mf))
-        return hidden.reshape((*batch_shape, self.hidden_dim))
+        (c, hidden), _ = jax.lax.scan(
+            step, carry0, (jnp.moveaxis(xproj, 1, 0), jnp.moveaxis(mf, 1, 0)),
+            unroll=self.unroll)
+        return hidden.reshape((*batch_shape, H))

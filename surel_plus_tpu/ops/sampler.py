@@ -207,8 +207,13 @@ def _dedup_device_tree(nodes, sizes, hi, lo, *, bucket, width):
     h, l = _dedup_sorted_rows(h, l)
     overflow = jnp.zeros((), bool)
     rows, w = n, bucket
-    FAN = 8  # 8-way merges keep the unrolled tree shallow (compile size)
     while rows > 1:
+        # 8-way merges keep the unrolled tree shallow while rows are
+        # narrow; once merged rows get wide the sort's row-parallelism is
+        # gone (few rows x huge width), so drop to pairwise merges — a
+        # sort of [r/2, 2w] costs ~4x less than [r/8, 8w] per level in
+        # the serial tail and keeps 4x more rows for lane parallelism.
+        FAN = 8 if 8 * w <= 32768 else 2
         fan = min(FAN, rows)
         if rows % fan:
             pad_rows = fan - rows % fan
@@ -238,50 +243,6 @@ def _dedup_device_tree(nodes, sizes, hi, lo, *, bucket, width):
     pos = _table_searchsorted_pair(table_hi, table_lo, hi, lo)
     eidx = jnp.where(valid, pos + 1, 0)
     return eidx, table_hi, table_lo, num_unique, overflow
-
-
-@functools.partial(jax.jit, static_argnames=("bucket",))
-def _dedup_device(nodes, sizes, hi, lo, *, bucket):
-    """Global encoding dedup fully on device (no host transfers).
-
-    Replaces the C hashtable pass (subg_acc.c:957-978) with three device
-    sorts over the flattened (hi, lo) keys:
-      1. sort keys (invalid slots forced to a sentinel that orders last),
-      2. flag first occurrences, prefix-sum unique ids, un-sort via a
-         second sort on original position,
-      3. compact the unique keys to the front via a third sort on
-         (flagged ? uid : MAX).
-
-    Returns (eidx [n, bucket] int32 1-based with 0 = padding,
-             uniq_hi/uniq_lo [n*bucket] uint32 — first U entries are the
-             ascending unique keys, num_unique scalar).
-    """
-    n = nodes.shape[0]
-    flat = n * bucket
-    valid = (jnp.arange(bucket, dtype=jnp.int32)[None, :]
-             < sizes[:, None]).reshape(flat)
-    hi_f = jnp.where(valid, hi.reshape(flat), UINT32_SENTINEL)
-    lo_f = jnp.where(valid, lo.reshape(flat), UINT32_SENTINEL)
-    pos = jnp.arange(flat, dtype=jnp.int32)
-
-    s_hi, s_lo, s_pos = jax.lax.sort((hi_f, lo_f, pos), num_keys=2)
-    s_valid = s_hi != UINT32_SENTINEL
-    new_key = jnp.concatenate([
-        jnp.ones((1,), bool),
-        (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1])])
-    flags = new_key & s_valid
-    uid = jnp.cumsum(flags.astype(jnp.int32)) - 1
-    num_unique = flags.sum().astype(jnp.int32)
-    eidx_sorted = jnp.where(s_valid, uid + 1, 0)
-
-    # un-sort: restore original order by sorting on position
-    _, eidx_flat = jax.lax.sort((s_pos, eidx_sorted), num_keys=1)
-    eidx = eidx_flat.reshape(n, bucket)
-
-    # compact unique keys to the front, ascending
-    comp_key = jnp.where(flags, uid, jnp.int32(0x7FFFFFFF))
-    _, uniq_hi, uniq_lo = jax.lax.sort((comp_key, s_hi, s_lo), num_keys=1)
-    return eidx, uniq_hi, uniq_lo, num_unique
 
 
 @functools.partial(jax.jit,
@@ -378,7 +339,11 @@ def sample_gsets_device(
     hi = jnp.concatenate(hi_b)[:n] if nblocks > 1 else hi_b[0][:n]
     lo = jnp.concatenate(lo_b)[:n] if nblocks > 1 else lo_b[0][:n]
 
-    width = max(enc_width, bucket)
+    # widen x4 on overflow; the merge tree stays row-parallel at any width
+    # (pairwise merges past 32k-wide rows), so there is no flat-sort cliff
+    # — the hard cap is the visit total itself.
+    hard_cap = n * bucket
+    width = min(max(enc_width, bucket), hard_cap)
     while True:
         eidx, table_hi, table_lo, num_unique, overflow = _dedup_device_tree(
             nodes, sizes, hi, lo, bucket=bucket, width=width)
@@ -386,20 +351,16 @@ def sample_gsets_device(
         if not over:
             u = int(num_unique)
             break
+        if width >= hard_cap:
+            raise AssertionError(
+                f"dedup overflow at width {width} >= visit total "
+                f"{hard_cap} — impossible (every visit is a candidate key)")
         if width >= max_enc_width:
-            log.warning("sample_gsets_device: unique encodings exceed "
-                        "%d; falling back to flat dedup", width)
-            eidx, uniq_hi, uniq_lo, num_unique = _dedup_device(
-                nodes, sizes, hi, lo, bucket=bucket)
-            u = int(num_unique)
-            cap = min(((u + 4095) // 4096) * 4096, n * bucket)
-            enc = _unpack_enc_device(uniq_hi, uniq_lo, num_walks=num_walks,
-                                     num_steps=num_steps, cap=cap)
-            dev = SpGDevice(nodes=nodes, eidx=eidx, sizes=sizes, enc=enc)
-            log.info("sample_gsets_device(flat): n=%d enc_unique=%d "
-                     "dT=%.2fs", n, u, time.time() - t0)
-            return dev, u
-        width *= 4
+            log.warning(
+                "sample_gsets_device: unique encodings exceed %d "
+                "(compression ratio < %.1f); widening further", width,
+                hard_cap / max(width, 1))
+        width = min(width * 4, hard_cap)
         log.info("sample_gsets_device: widening unique table to %d", width)
     log.info("sample_gsets_device: dedup synced %.1fs (u=%d)",
              time.time() - t0, u)

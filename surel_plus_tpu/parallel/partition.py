@@ -1,0 +1,245 @@
+"""Edge-partitioned graphs + frontier-exchange sampling (multi-host).
+
+The reference is strictly single-device (main.py:128-129; README "Single
+GPU training") — this module is the capability it lacks: graphs larger
+than one device's HBM, sampled across a device mesh (and across hosts via
+`jax.distributed`, see `init_distributed`).
+
+Design:
+  * the CSR is partitioned by contiguous node ranges: shard g owns rows
+    [g*rps, (g+1)*rps). Each device holds ONLY its shard (indptr rebased
+    to the shard start, indices/shuffled padded to the max shard nnz) —
+    total graph memory divides by the mesh size.
+  * walks cross partitions through an owner-computed frontier exchange:
+    each step, every device ships its walkers' (current node, random
+    bits) to the mesh (`all_gather` of ids — 8 bytes/walker), the node's
+    owner computes `indices[start + r % deg]` locally, and answers route
+    back with one `all_to_all`. The walk STATE never leaves the seed's
+    device; only (id, answer) scalars cross the interconnect.
+  * randomness is generated at the global block shape and sliced per
+    shard, so partitioned sampling is BIT-IDENTICAL to the single-device
+    kernel (ops/walk.py:_walk_block) for the same key — tested in
+    tests/test_partition.py.
+  * set building (dedup + landing counts + key packing) is per-seed local
+    (ops/walk.py:_build_sets_packed_block) and embarrassingly parallel.
+
+For graphs that FIT device HBM, the seed-parallel replicated path
+(parallel/dist.py:sample_gsets_sharded) remains the fast choice (zero
+communication); this module is the capacity path. A replica-group hybrid
+(graph sharded over K devices, seed-parallel across G/K groups) comes out
+of choosing the mesh: partition over 'graph', replicate over 'data'.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from surel_plus_tpu.graph.csr import CSRGraph
+from surel_plus_tpu.ops import walk as walk_ops
+
+log = logging.getLogger(__name__)
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None,
+                     local_device_ids=None) -> None:
+    """Initialize multi-host JAX (one controller process per host).
+
+    On TPU pods the arguments are inferred from the environment; on
+    CPU/GPU clusters pass them explicitly. Safe to call once per process
+    before any jax computation. The reference has no analog (single
+    process, single GPU)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = local_device_ids
+    jax.distributed.initialize(**kwargs)
+    log.info("jax.distributed: process %d/%d, %d local / %d global devices",
+             jax.process_index(), jax.process_count(),
+             jax.local_device_count(), jax.device_count())
+
+
+@dataclasses.dataclass
+class PartitionedCSR:
+    """Row-range partitioned CSR, stacked [G, ...] for shard_map feeding.
+
+    indptr:   int32 [G, rps+1] — rebased to each shard's start.
+    indices:  int32 [G, Emax]  — global neighbor ids, zero-padded.
+    shuffled: int32 [G, Emax]  — per-row random permutation of indices
+              (the step-0 without-replacement source), same padding.
+    """
+
+    indptr: np.ndarray
+    indices: np.ndarray
+    shuffled: np.ndarray
+    rows_per_shard: int
+    num_nodes: int
+    num_shards: int
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.indptr[:, -1].sum())
+
+
+def partition_csr(graph: CSRGraph, n_shards: int,
+                  seed: int = 111413) -> PartitionedCSR:
+    """Split a CSR graph into `n_shards` contiguous row ranges.
+
+    The per-row shuffle matches `shuffled_indices_for` (same native
+    kernel / numpy fallback and the same seed convention), so partitioned
+    walks reproduce single-device walks exactly."""
+    from surel_plus_tpu.ops.sampler import shuffled_indices_for
+
+    N = graph.num_nodes
+    rps = (N + n_shards - 1) // n_shards
+    shuffled_global = np.asarray(shuffled_indices_for(graph, seed))
+
+    emax = 0
+    for g in range(n_shards):
+        a, b = g * rps, min((g + 1) * rps, N)
+        emax = max(emax, int(graph.indptr[b] - graph.indptr[a]))
+
+    indptr = np.zeros((n_shards, rps + 1), np.int32)
+    indices = np.zeros((n_shards, emax), np.int32)
+    shuffled = np.zeros((n_shards, emax), np.int32)
+    for g in range(n_shards):
+        a, b = g * rps, min((g + 1) * rps, N)
+        base = int(graph.indptr[a])
+        nnz = int(graph.indptr[b]) - base
+        local = graph.indptr[a:b + 1].astype(np.int64) - base
+        indptr[g, :b - a + 1] = local
+        indptr[g, b - a + 1:] = local[-1]  # padded rows: degree 0
+        indices[g, :nnz] = graph.indices[base:base + nnz]
+        shuffled[g, :nnz] = shuffled_global[base:base + nnz]
+    return PartitionedCSR(indptr=indptr, indices=indices, shuffled=shuffled,
+                          rows_per_shard=rps, num_nodes=N,
+                          num_shards=n_shards)
+
+
+def _probe_step(lindptr, table, nodes, aux, shard, rps, axis):
+    """Owner-computed neighbor pick for a frontier of walkers.
+
+    nodes/aux: [B, M] local requests (global node id, random draw).
+    Every device receives all requests (ids are 4 bytes vs rows of
+    hundreds — the id broadcast is noise next to graph rows), answers the
+    ones it owns from its local shard, masks the rest to 0, and one
+    all_to_all routes answer blocks back; the sum over owners (exactly
+    one per node) reconstructs every answer.
+    """
+    all_nodes = jax.lax.all_gather(nodes, axis)     # [G, B, M]
+    all_aux = jax.lax.all_gather(aux, axis)
+    lid = all_nodes - shard * rps
+    owned = (lid >= 0) & (lid < rps)
+    safe = jnp.clip(lid, 0, rps - 1)
+    start = lindptr[safe]
+    deg = lindptr[safe + 1] - start
+    pick = (all_aux % jnp.maximum(deg, 1).astype(jnp.uint32)
+            ).astype(jnp.int32)
+    ans = table[start + pick]
+    ans = jnp.where(deg > 0, ans, all_nodes)        # degree-0: stay
+    ans = jnp.where(owned, ans, 0)
+    routed = jax.lax.all_to_all(ans, axis, split_axis=0, concat_axis=0,
+                                tiled=False)        # [G, B, M]
+    return routed.sum(axis=0)
+
+
+def sample_gsets_partitioned(
+    pcsr: PartitionedCSR,
+    seeds: np.ndarray,
+    num_walks: int,
+    num_steps: int,
+    mesh: Mesh,
+    seed: int = 111413,
+    bucket: Optional[int] = None,
+):
+    """Multi-device set sampling over an edge-partitioned graph.
+
+    Seeds are sharded over the flattened mesh; each device walks its
+    seeds, fetching neighbor picks from shard owners via the frontier
+    exchange. Returns an SpGKeys row-sharded over the first mesh axis —
+    feed it to shard_spg_keys / DistributedKeysTrainStep unchanged.
+
+    Bit-identical to `walk_ops.sample_block(..., key)` on the whole seed
+    block with the same key (random bits are generated at global shape
+    and sliced per shard)."""
+    from surel_plus_tpu.spg.spg import SpGKeys
+
+    seeds = np.asarray(seeds, dtype=np.int32)
+    n = len(seeds)
+    if bucket is None:
+        bucket = num_walks * num_steps + 1
+    G = pcsr.num_shards
+    ndev = int(np.prod(list(mesh.shape.values())))
+    assert G == ndev, (G, ndev)
+    per = (n + G - 1) // G
+    n_pad = per * G
+    seeds_pad = (np.concatenate([seeds, np.zeros(n_pad - n, np.int32)])
+                 if n_pad > n else seeds)
+    rps = pcsr.rows_per_shard
+    M, S = num_walks, num_steps
+    axis = "shard"
+    flat_mesh = Mesh(np.asarray(mesh.devices).reshape(-1), (axis,))
+
+    def local(lindptr, lindices, lshuffled, seeds_shard, key):
+        shard = jax.lax.axis_index(axis)
+        lindptr = lindptr[0]
+        lindices = lindices[0]
+        lshuffled = lshuffled[0]
+        sd = seeds_shard[0]                         # [per]
+
+        # ---- step 0: m-th shuffled neighbor (without replacement,
+        # ops/walk.py:_walk_block's shuffled-indices semantics) ----
+        m = jnp.broadcast_to(
+            jnp.arange(M, dtype=jnp.int32)[None, :], (per, M))
+        cur = _probe_step(lindptr, lshuffled,
+                          jnp.broadcast_to(sd[:, None], (per, M)),
+                          m.astype(jnp.uint32), shard, rps, axis)
+        walks = [cur]
+
+        # ---- steps 1..S-1: uniform with replacement; bits generated at
+        # the GLOBAL block shape and sliced so every shard count yields
+        # the same walks (reproducibility across meshes) ----
+        if S > 1:
+            step_keys = jax.random.split(key, S - 1)
+
+            def body(cur, step_key):
+                r_full = jax.random.bits(step_key, (n_pad, M),
+                                         dtype=jnp.uint32)
+                r = jax.lax.dynamic_slice_in_dim(r_full, shard * per, per,
+                                                 axis=0)
+                nxt = _probe_step(lindptr, lindices, cur, r, shard, rps,
+                                  axis)
+                return nxt, nxt
+
+            _, rest = jax.lax.scan(body, cur, step_keys)
+            walks += [rest[i] for i in range(S - 1)]
+        wmat = jnp.stack(walks, axis=-1)            # [per, M, S]
+        return walk_ops._build_sets_packed_block(sd, wmat, M, S, bucket)
+
+    sharded = jax.shard_map(
+        local, mesh=flat_mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                  P(axis, None), P()),
+        out_specs=(P(axis, None), P(axis), P(axis, None), P(axis, None)),
+        check_vma=False,
+    )
+    nodes, sizes, hi, lo = jax.jit(sharded)(
+        jnp.asarray(pcsr.indptr), jnp.asarray(pcsr.indices),
+        jnp.asarray(pcsr.shuffled),
+        jnp.asarray(seeds_pad).reshape(G, per), jax.random.PRNGKey(seed))
+    return SpGKeys(nodes=nodes[:n], khi=hi[:n], klo=lo[:n],
+                   sizes=sizes[:n], num_walks=num_walks,
+                   num_steps=num_steps)

@@ -139,6 +139,12 @@ class DeviceTrainer:
         self.sarr = (dev.nodes, dev.eidx, dev.sizes, dev.enc)
         self._join2 = lambda s, e: join_fn(s[0], s[1], s[2], e)
         self._enc_of = lambda s: s[3]
+        # truncate SpG row tiles to a width class (balanced-|S_Q| batching,
+        # paper §3.3): rows hold only `size` valid slots, so slicing to
+        # L >= max batch size is lossless; XLA fuses slice-of-gather.
+        self._slice_sarr = lambda s, L: (s[0][:, :L], s[1][:, :L], s[2],
+                                         s[3])
+        self._sizes_of = lambda s: s[2]
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(config.grad_clip),
             optax.adam(config.lr),
@@ -266,6 +272,210 @@ class DeviceTrainer:
                   labels_dev, key)
 
     # ------------------------------------------------------------------
+    # Balanced-|S_Q| batching (paper §3.3): group queries by the tile
+    # width they actually need — max endpoint set size rounded up to a
+    # width class — so small-set queries stop paying the full `bucket`
+    # padding in the join sorts. The reference gets its balance implicitly
+    # from CSR's Sigma-nnz layout (train.py:20-30); here classes map to a
+    # few static shapes, one scan per class inside one XLA program.
+    # ------------------------------------------------------------------
+    def partition_by_width(self, edges: np.ndarray, classes):
+        """Host-side partition of [Q, E] queries into width classes.
+
+        Returns list of (width, idx ndarray) covering all queries; classes
+        must be ascending and end with a width >= the SpG bucket."""
+        sizes_h = self._sizes_host()
+        req = sizes_h[np.asarray(edges)].max(axis=0)  # [E]
+        out = []
+        prev = 0
+        for L in classes:
+            sel = np.nonzero((req > prev) & (req <= L))[0]
+            out.append((int(L), sel))
+            prev = L
+        assert prev >= req.max(), (prev, int(req.max()))
+        return out
+
+    def _sizes_host(self) -> np.ndarray:
+        if not hasattr(self, "_sizes_h"):
+            self._sizes_h = np.asarray(self._sizes_of(self.sarr))
+        return self._sizes_h
+
+    def _fit_balanced_fn(self, counts, widths, n_epochs: int):
+        key_c = ("bal", tuple(counts), tuple(widths), n_epochs)
+        if key_c in self._epoch_cache:
+            return self._epoch_cache[key_c]
+        bs = self.config.batch_size
+        model, opt = self.train_model, self.optimizer
+        join2, enc_of, slice_sarr = self._join2, self._enc_of, \
+            self._slice_sarr
+        feature_present = self.feature is not None
+        auc_bins = 512
+        nsteps_c = [(n + bs - 1) // bs for n in counts]
+
+        def epoch(params, opt_state, sarr, feature, class_edges,
+                  class_labels, key):
+            hist0 = jnp.zeros((auc_bins,), jnp.float32)
+            pos_h = neg_h = hist0
+            loss_sum = jnp.zeros(())
+            w_sum = jnp.zeros(())
+            kdrop = key
+            for ci, (n_c, L_c) in enumerate(zip(counts, widths)):
+                if n_c == 0:
+                    continue
+                edges_c = class_edges[ci]
+                labels_c = class_labels[ci]
+                sarr_c = slice_sarr(sarr, L_c)
+                kperm = jax.random.fold_in(key, ci)
+                perm = riffle_permutation(kperm, nsteps_c[ci], bs)
+                wmat = (perm < n_c).astype(jnp.float32)
+                perm = jnp.minimum(perm, n_c - 1)
+
+                def step(carry, xs, edges_c=edges_c, labels_c=labels_c,
+                         sarr_c=sarr_c):
+                    params, opt_state, key, pos_h, neg_h, loss_sum, \
+                        w_sum = carry
+                    idx, w = xs
+                    be = edges_c[:, idx]
+                    bl = labels_c[idx]
+                    key, sub = jax.random.split(key)
+                    joined = join2(sarr_c, be)
+                    feat = feature[be] if feature_present else None
+
+                    def loss_fn(p):
+                        logits = model.apply(
+                            p, enc_of(sarr_c), joined, feat, train=True,
+                            rngs={"dropout": sub})
+                        per = optax.sigmoid_binary_cross_entropy(logits, bl)
+                        return (per * w).sum() / jnp.maximum(w.sum(), 1.0), \
+                            logits
+
+                    (loss, logits), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(params)
+                    updates, opt_state = opt.update(grads, opt_state,
+                                                    params)
+                    params = optax.apply_updates(params, updates)
+                    preds = jax.nn.sigmoid(logits)
+                    pos_h = pos_h + score_histogram(preds, w * bl, auc_bins)
+                    neg_h = neg_h + score_histogram(preds, w * (1.0 - bl),
+                                                    auc_bins)
+                    return (params, opt_state, key, pos_h, neg_h,
+                            loss_sum + loss * w.sum(), w_sum + w.sum()), None
+
+                (params, opt_state, kdrop, pos_h, neg_h, loss_sum,
+                 w_sum), _ = jax.lax.scan(
+                    step, (params, opt_state, kdrop, pos_h, neg_h,
+                           loss_sum, w_sum), (perm, wmat))
+            mean_loss = loss_sum / jnp.maximum(w_sum, 1.0)
+            auc = device_auc_hist(pos_h, neg_h)
+            return params, opt_state, mean_loss, auc
+
+        @jax.jit
+        def fit(params, opt_state, sarr, feature, class_edges,
+                class_labels, key):
+            def one(carry, ekey):
+                params, opt_state = carry
+                params, opt_state, loss, auc = epoch(
+                    params, opt_state, sarr, feature, class_edges,
+                    class_labels, ekey)
+                return (params, opt_state), (loss, auc)
+
+            keys = jax.random.split(key, n_epochs)
+            (params, opt_state), (losses, aucs) = jax.lax.scan(
+                one, (params, opt_state), keys)
+            return params, opt_state, losses, aucs
+
+        self._epoch_cache[key_c] = fit
+        return fit
+
+    def fit_balanced(self, params, opt_state, edges: np.ndarray,
+                     labels: np.ndarray, key, n_epochs: int, classes):
+        """Width-classed multi-epoch fit. `edges` [Q, E] / `labels` [E]
+        host arrays; `classes` ascending tile widths, last >= bucket.
+        Returns (params, opt_state, losses, aucs, groups) where groups is
+        the partition (for waste diagnostics)."""
+        bs = self.config.batch_size
+        groups = self.partition_by_width(edges, classes)
+        class_edges, class_labels, counts, widths = [], [], [], []
+        for L, sel in groups:
+            n_c = len(sel)
+            counts.append(n_c)
+            widths.append(L)
+            if n_c == 0:
+                class_edges.append(
+                    jnp.zeros((edges.shape[0], bs), jnp.int32))
+                class_labels.append(jnp.zeros((bs,), jnp.float32))
+                continue
+            pad = (-n_c) % bs
+            e_c = np.asarray(edges)[:, sel]
+            l_c = np.asarray(labels)[sel]
+            if pad:
+                e_c = np.concatenate(
+                    [e_c, np.zeros((e_c.shape[0], pad), e_c.dtype)], axis=1)
+                l_c = np.concatenate([l_c, np.zeros(pad, l_c.dtype)])
+            class_edges.append(jnp.asarray(e_c))
+            class_labels.append(jnp.asarray(l_c))
+        fn = self._fit_balanced_fn(tuple(counts), tuple(widths), n_epochs)
+        params, opt_state, losses, aucs = fn(
+            params, opt_state, self.sarr, self.feature,
+            tuple(class_edges), tuple(class_labels), key)
+        return params, opt_state, losses, aucs, groups
+
+    def predict_balanced(self, params, edges: np.ndarray,
+                         classes) -> jax.Array:
+        """Width-classed scoring: each class scored at its own tile width,
+        results restored to input order. Exactly equals `predict`."""
+        groups = self.partition_by_width(edges, classes)
+        E = edges.shape[1]
+        out = jnp.zeros((E,), jnp.float32)
+        for L, sel in groups:
+            if len(sel) == 0:
+                continue
+            scores = self._predict_width(params, np.asarray(edges)[:, sel],
+                                         int(L))
+            out = out.at[jnp.asarray(sel)].set(scores)
+        return out
+
+    def _predict_width(self, params, edges: np.ndarray, L: int):
+        bs = self.config.batch_size
+        E = edges.shape[1]
+        pad = (-E) % bs
+        if pad:
+            edges = np.concatenate(
+                [edges, np.zeros((edges.shape[0], pad), edges.dtype)],
+                axis=1)
+        fn = self._score_width_fn(E + pad, L)
+        return fn(params, self.sarr, self.feature, jnp.asarray(edges))[:E]
+
+    def _score_width_fn(self, num_padded: int, L: int):
+        key_c = ("score", num_padded, L)
+        if key_c in self._score_cache:
+            return self._score_cache[key_c]
+        bs = self.config.batch_size
+        nsteps = num_padded // bs
+        model = self.model
+        join2, enc_of, slice_sarr = self._join2, self._enc_of, \
+            self._slice_sarr
+
+        @jax.jit
+        def score(params, sarr, feature, edges):
+            sarr_c = slice_sarr(sarr, L)
+
+            def step(_, i):
+                be = jax.lax.dynamic_slice_in_dim(edges, i * bs, bs, axis=1)
+                joined = join2(sarr_c, be)
+                feat = feature[be] if feature is not None else None
+                logits = model.apply(params, enc_of(sarr_c), joined, feat,
+                                     train=False)
+                return None, jax.nn.sigmoid(logits)
+
+            _, out = jax.lax.scan(step, None,
+                                  jnp.arange(nsteps, dtype=jnp.int32))
+            return out.reshape(-1)
+
+        self._score_cache[key_c] = score
+        return score
+
+    # ------------------------------------------------------------------
     def _score_fn(self, num_padded: int):
         if num_padded in self._score_cache:
             return self._score_cache[num_padded]
@@ -332,6 +542,9 @@ def trainer_from_keys(model, spgk, config: TrainConfig,
     tr.sarr = (spgk.nodes, spgk.khi, spgk.klo, spgk.sizes)
     tr._join2 = lambda s, e: join(s[0], s[1], s[2], s[3], e)
     tr._enc_of = lambda s: jnp.zeros((1, 1), jnp.float32)
+    tr._slice_sarr = lambda s, L: (s[0][:, :L], s[1][:, :L], s[2][:, :L],
+                                   s[3])
+    tr._sizes_of = lambda s: s[3]
     return tr
 
 

@@ -111,3 +111,68 @@ def test_device_trainer_epoch(setup):
     assert 0.0 <= auc_te <= 1.0
     mrr_res, _ = evaluate_device(trainer, params, inf, "MRR")
     assert 0.0 < mrr_res[2] <= 1.0
+
+
+def test_dedup_widens_past_max_without_flat_cliff():
+    """When unique encodings exceed max_enc_width the widen loop keeps
+    going (pairwise merge tree at wide levels) instead of falling back to
+    serializing 1-D flat sorts; results still match the host dedup."""
+    g = rmat_graph(400, 3000, seed=11)
+    seeds = np.arange(g.num_nodes, dtype=np.int32)
+    host = sample_gsets(g, seeds, num_walks=M, num_steps=S, seed=5,
+                        block_size=128)
+    # force repeated widening: start tiny and cap max_enc_width below the
+    # true unique count so the loop must continue past the "max"
+    assert host.num_unique_enc > 32
+    dev, u = sample_gsets_device(g, seeds, num_walks=M, num_steps=S,
+                                 seed=5, block_size=128, enc_width=8,
+                                 max_enc_width=16)
+    assert u == host.num_unique_enc
+    np.testing.assert_array_equal(np.asarray(dev.eidx), host.eidx)
+    np.testing.assert_allclose(np.asarray(dev.enc)[:u + 1],
+                               host.enc_normalized()[:u + 1], rtol=1e-6)
+
+
+def test_balanced_predict_matches_plain(setup):
+    """Width-classed scoring == full-width scoring exactly (truncation to
+    a class width >= max endpoint set size is lossless)."""
+    g, host, dev, u = setup
+    cfg = TrainConfig(batch_size=64, lr=1e-3)
+    net = Net(input_dim=S + 1, hidden_dim=16, dropout=0.0)
+    tr = DeviceTrainer(net, dev, cfg)
+    rng = np.random.default_rng(0)
+    edges = rng.integers(0, g.num_nodes, size=(2, 200)).astype(np.int32)
+    params, _ = tr.init(jax.random.PRNGKey(0), edges[:, :64])
+    bucket = dev.nodes.shape[1]
+    classes = (8, 16, max(32, bucket))
+    plain = np.asarray(tr.predict(params, edges))
+    bal = np.asarray(tr.predict_balanced(params, edges, classes))
+    np.testing.assert_allclose(bal, plain, rtol=1e-5, atol=1e-6)
+    groups = tr.partition_by_width(edges, classes)
+    assert sum(len(sel) for _, sel in groups) == edges.shape[1]
+    assert any(len(sel) for _, sel in groups[:-1]), \
+        "test graph should exercise at least one small class"
+
+
+def test_balanced_fit_trains(setup):
+    g, host, dev, u = setup
+    cfg = TrainConfig(batch_size=64, lr=1e-2)
+    net = Net(input_dim=S + 1, hidden_dim=16, dropout=0.0)
+    tr = DeviceTrainer(net, dev, cfg)
+    rng = np.random.default_rng(1)
+    E = 256
+    # learnable signal: positives are self-pairs (identical sets)
+    pos_u = rng.integers(0, g.num_nodes, E // 2)
+    edges = np.stack([
+        np.concatenate([pos_u, rng.integers(0, g.num_nodes, E - E // 2)]),
+        np.concatenate([pos_u, rng.integers(0, g.num_nodes, E - E // 2)]),
+    ]).astype(np.int32)
+    labels = np.concatenate([np.ones(E // 2), np.zeros(E - E // 2)]
+                            ).astype(np.float32)
+    params, opt_state = tr.init(jax.random.PRNGKey(0), edges[:, :64])
+    bucket = dev.nodes.shape[1]
+    params, opt_state, losses, aucs, groups = tr.fit_balanced(
+        params, opt_state, edges, labels, jax.random.PRNGKey(2),
+        n_epochs=8, classes=(8, 16, max(32, bucket)))
+    assert losses.shape == (8,)
+    assert float(losses[-1]) < float(losses[0])

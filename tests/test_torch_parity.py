@@ -107,3 +107,37 @@ def test_honet_matches_torch_replica():
     h = torch.relu(l1(torch.cat([agg[0], agg[1], agg[2], agg[3]], dim=-1)))
     got = l2(h).squeeze(-1).detach().numpy()
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+def test_net_lstm_matches_torch_replica():
+    """LSTM aggregation == torch nn.LSTM over each set's valid prefix,
+    final hidden state (PyG LSTMAggregation semantics, model.py:63-65).
+
+    The fused-projection layout stores wi [h, 4H], wh [H, 4H], bh [4H]
+    with (i, f, g, o) gate chunks — torch's stacking — so
+    weight_ih = wi.T, weight_hh = wh.T, bias_hh = bh, bias_ih = 0."""
+    enc, eidx, mask, params, want = _setup("lstm")
+
+    feats = torch.tensor(enc[eidx])            # [2, B, L, 2, S]
+    x = _torch_pe(params, feats).sum(dim=-2)   # [2, B, L, H]
+
+    a = params["params"]["aggr"]
+    H_ = np.asarray(a["wh"]).shape[0]
+    w_ih = torch.tensor(np.asarray(a["wi"]).T)   # [4H, h], (i,f,g,o) rows
+    w_hh = torch.tensor(np.asarray(a["wh"]).T)
+    b_hh = torch.tensor(np.asarray(a["bh"]))
+    lstm = torch.nn.LSTM(x.shape[-1], H_, batch_first=True)
+    with torch.no_grad():
+        lstm.weight_ih_l0.copy_(w_ih)
+        lstm.weight_hh_l0.copy_(w_hh)
+        lstm.bias_ih_l0.zero_()
+        lstm.bias_hh_l0.copy_(b_hh)
+
+    sizes = torch.tensor(mask.sum(axis=-1))    # [2, B]
+    flat = x.reshape(-1, x.shape[-2], x.shape[-1])
+    out, _ = lstm(flat)                        # [2B, L, H]
+    last = out[torch.arange(flat.shape[0]), sizes.reshape(-1) - 1]
+    agg = last.reshape(2, -1, H_)
+
+    got = _torch_merge(params, agg[0], agg[1]).detach().numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
