@@ -15,10 +15,17 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import logging
+import os
 import time
 from typing import Dict
 
 import jax
+
+# SUREL_PLATFORM=cpu forces the CPU backend for offline runs; the axon
+# TPU plugin overrides platform selection programmatically, so the
+# JAX_PLATFORMS environment variable alone cannot (CLAUDE.md).
+if os.environ.get("SUREL_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["SUREL_PLATFORM"])
 import numpy as np
 
 from surel_plus_tpu.graph.datasets import (

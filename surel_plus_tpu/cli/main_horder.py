@@ -11,9 +11,13 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import logging
+import os
 import time
 
 import jax
+
+if os.environ.get("SUREL_PLATFORM"):  # see cli/main.py
+    jax.config.update("jax_platforms", os.environ["SUREL_PLATFORM"])
 import numpy as np
 
 from surel_plus_tpu.graph.datasets import (

@@ -28,6 +28,7 @@ NMAX=65536 blocking, subg_acc.c:736) so the kernel jit-compiles once.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -35,6 +36,12 @@ import jax.numpy as jnp
 import numpy as np
 
 INT32_MAX = np.iinfo(np.int32).max
+
+# fuse the per-step (start, degree) indptr lookups into ONE [N, 2]
+# row gather (rows vectorize across lanes; separate per-element gathers
+# run ~1 element/cycle). SUREL_WALK_FUSION=0 restores the 2-gather
+# baseline for A/B measurement.
+_FUSE_START_DEG = os.environ.get("SUREL_WALK_FUSION", "1") != "0"
 
 
 def enc_field_layout(num_walks: int, num_steps: int):
@@ -123,8 +130,17 @@ def _walk_block(indptr: jax.Array, indices: jax.Array,
     subg_acc.c:144-180); default is the SUREL+ without-replacement first hop.
     """
     block = seeds.shape[0]
-    start = indptr[seeds]
-    deg = indptr[seeds + 1] - start
+    if _FUSE_START_DEG:
+        # [N, 2] (start, degree) table built on device per call (one
+        # vector pass over indptr — noise next to the walk gathers)
+        start_deg = jnp.stack(
+            [indptr[:-1], indptr[1:] - indptr[:-1]], axis=-1)
+        sd = start_deg[seeds]
+        start, deg = sd[..., 0], sd[..., 1]
+    else:
+        start_deg = None
+        start = indptr[seeds]
+        deg = indptr[seeds + 1] - start
 
     if replacement:
         r0 = jax.random.bits(jax.random.fold_in(key, 0x5eed), (block, num_walks),
@@ -146,10 +162,15 @@ def _walk_block(indptr: jax.Array, indices: jax.Array,
         return w0[:, :, None]
 
     def step(cur, step_key):
-        d = indptr[cur + 1] - indptr[cur]
+        if _FUSE_START_DEG:
+            sdc = start_deg[cur]              # one [B, M, 2] row gather
+            st, d = sdc[..., 0], sdc[..., 1]
+        else:
+            st = indptr[cur]
+            d = indptr[cur + 1] - st
         r = jax.random.bits(step_key, cur.shape, dtype=jnp.uint32)
         pick = (r % jnp.maximum(d, 1).astype(jnp.uint32)).astype(jnp.int32)
-        nxt = indices[indptr[cur] + pick]
+        nxt = indices[st + pick]
         nxt = jnp.where(d > 0, nxt, cur)
         return nxt, nxt
 

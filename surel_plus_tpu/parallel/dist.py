@@ -299,6 +299,120 @@ class DistributedKeysTrainStep:
                           edges, labels, weights, rng)
 
 
+class DistributedKeysScorer:
+    """(data x graph)-sharded inference over a row-sharded packed-key SpG
+    — the eval mirror of DistributedKeysTrainStep (the reference's
+    inference is half its wall-clock story: train.py:175-280, Table 4).
+    Query rows are reconstructed with owner-masked psums over 'graph',
+    joined locally, scored data-parallel; scores return replicated."""
+
+    def __init__(self, model, mesh: Mesh, sspg: ShardedSpGKeys,
+                 batch_size: int = 4096):
+        self.model = model
+        self.mesh = mesh
+        self.sspg = sspg
+        dp = mesh.shape["data"]
+        self.batch_size = ((batch_size + dp - 1) // dp) * dp
+        self._score = self._build()
+
+    def _build(self):
+        from surel_plus_tpu.ops.join import join_gathered_keys
+        from surel_plus_tpu.ops.walk import INT32_MAX
+
+        mesh, sspg = self.mesh, self.sspg
+        rps = sspg.rows_per_shard
+        M, S = sspg.num_walks, sspg.num_steps
+
+        def score_local(params, nodes, khi, klo, sizes, edges):
+            # edges: [Q, B_local] (data-sharded batch)
+            rows_nodes = dist_gather_rows(nodes, edges, rps)
+            rows_hi = dist_gather_rows(khi, edges, rps)
+            rows_lo = dist_gather_rows(klo, edges, rps)
+            rows_sizes = dist_gather_rows(sizes, edges, rps)
+            L = rows_nodes.shape[-1]
+            slot = jnp.arange(L, dtype=jnp.int32)
+            valid = slot[None, None, :] < rows_sizes[:, :, None]
+            rows_nodes = jnp.where(valid, rows_nodes, INT32_MAX)
+            joined = join_gathered_keys(rows_nodes, rows_hi, rows_lo,
+                                        rows_sizes, M, S)
+            logits = self.model.apply(
+                params, jnp.zeros((1, 1), jnp.float32), joined, None,
+                train=False)
+            scores = jax.nn.sigmoid(logits)
+            # replicate scores: concatenate data shards on every device
+            return jax.lax.all_gather(scores, "data", tiled=True)
+
+        sharded = jax.shard_map(
+            score_local, mesh=mesh,
+            in_specs=(P(), P("graph", None), P("graph", None),
+                      P("graph", None), P("graph"), P(None, "data")),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    def __call__(self, params, edges) -> jax.Array:
+        """Score [Q, E] query edges (any E; batches are padded to the
+        data axis internally). Returns scores [E] replicated."""
+        edges = np.asarray(edges)
+        E = edges.shape[1]
+        bs = self.batch_size
+        pad = (-E) % bs
+        if pad:
+            edges = np.concatenate(
+                [edges, np.zeros((edges.shape[0], pad), edges.dtype)],
+                axis=1)
+        outs = []
+        for i in range(0, E + pad, bs):
+            outs.append(self._score(
+                params, self.sspg.nodes, self.sspg.khi, self.sspg.klo,
+                self.sspg.sizes, jnp.asarray(edges[:, i:i + bs])))
+        return jnp.concatenate(outs)[:E]
+
+
+def evaluate_distributed(scorer: DistributedKeysScorer, params, inf_edge,
+                         metric: str):
+    """Sharded-mesh version of train.device.evaluate_device — identical
+    result shapes (reference train.py:175-280); metrics computed from
+    replicated score vectors."""
+    import time
+
+    from surel_plus_tpu.train.device import (device_auc, device_hits_at_k,
+                                             device_mrr)
+
+    def split_scores(split):
+        pos_edge, neg_edge = inf_edge[split]
+        return scorer(params, pos_edge), scorer(params, neg_edge)
+
+    pos_v, neg_v = split_scores("valid")
+    t0 = time.time()
+    pos_t, neg_t = split_scores("test")
+
+    if "Hits" in metric:
+        results = {}
+        for k in (10, 20, 50, 100):
+            results[f"Hits@{k}"] = (
+                0,
+                float(device_hits_at_k(pos_v, neg_v, k)),
+                float(device_hits_at_k(pos_t, neg_t, k)),
+            )
+        return results, time.time() - t0
+    if "AUC" in metric:
+        def auc(pos, neg):
+            labels = jnp.concatenate(
+                [jnp.ones(pos.shape[0]), jnp.zeros(neg.shape[0])])
+            return float(device_auc(labels, jnp.concatenate([pos, neg])))
+        return (0, auc(pos_v, neg_v), auc(pos_t, neg_t)), time.time() - t0
+    k_v = neg_v.shape[0] // max(pos_v.shape[0], 1)
+    k_t = neg_t.shape[0] // max(pos_t.shape[0], 1)
+    return (0,
+            float(device_mrr(pos_v,
+                             neg_v[:pos_v.shape[0] * k_v].reshape(-1, k_v))),
+            float(device_mrr(pos_t,
+                             neg_t[:pos_t.shape[0] * k_t].reshape(-1, k_t))),
+            ), time.time() - t0
+
+
 class DistributedTrainStep:
     """Builds a jitted (data x graph)-sharded train step for `Net`-style
     models over a ShardedSpG."""

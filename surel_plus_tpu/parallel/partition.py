@@ -237,9 +237,12 @@ def sample_gsets_partitioned(
         check_vma=False,
     )
     nodes, sizes, hi, lo = jax.jit(sharded)(
-        jnp.asarray(pcsr.indptr), jnp.asarray(pcsr.indices),
-        jnp.asarray(pcsr.shuffled),
-        jnp.asarray(seeds_pad).reshape(G, per), jax.random.PRNGKey(seed))
-    return SpGKeys(nodes=nodes[:n], khi=hi[:n], klo=lo[:n],
-                   sizes=sizes[:n], num_walks=num_walks,
+        pcsr.indptr, pcsr.indices, pcsr.shuffled,
+        seeds_pad.reshape(G, per), jax.random.PRNGKey(seed))
+    if n_pad > n and jax.process_count() == 1:
+        # trim seed padding (multi-process callers pass divisible counts:
+        # slicing a non-fully-addressable global array is not allowed)
+        nodes, sizes, hi, lo = nodes[:n], sizes[:n], hi[:n], lo[:n]
+    return SpGKeys(nodes=nodes, khi=hi, klo=lo,
+                   sizes=sizes, num_walks=num_walks,
                    num_steps=num_steps)

@@ -177,3 +177,46 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(out)))
     ge.dryrun_multichip(8)
+
+
+def test_distributed_scorer_matches_single(setup):
+    """Sharded-mesh inference == single-device keys scoring exactly, and
+    evaluate_distributed produces the evaluate_device result shapes."""
+    from surel_plus_tpu.ops.join import make_keys_join
+    from surel_plus_tpu.ops.sampler import sample_gsets_device_keys
+    from surel_plus_tpu.parallel.dist import (
+        DistributedKeysScorer, evaluate_distributed, shard_spg_keys)
+
+    g, _, _ = setup
+    spgk = sample_gsets_device_keys(g, np.arange(200, dtype=np.int32),
+                                    num_walks=8, num_steps=2, seed=1,
+                                    block_size=200)
+    mesh = make_mesh(8)
+    sspg = shard_spg_keys(spgk, mesh)
+    model = Net(input_dim=3, hidden_dim=16, aggrs="mean", dropout=0.0)
+
+    rng = np.random.default_rng(3)
+    E = 100  # not a multiple of the padded batch — exercises padding
+    edges = rng.integers(0, 200, size=(2, E)).astype(np.int32)
+
+    kjoin = make_keys_join(8, 2)
+    joined = kjoin(spgk.nodes, spgk.khi, spgk.klo, spgk.sizes,
+                   jnp.asarray(edges))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 1), jnp.float32), joined)
+    want = np.asarray(jax.nn.sigmoid(model.apply(
+        params, jnp.zeros((1, 1), jnp.float32), joined, None,
+        train=False)))
+
+    scorer = DistributedKeysScorer(model, mesh, sspg, batch_size=64)
+    got = np.asarray(scorer(params, edges))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    inf_edge = {
+        "valid": (edges[:, :40], edges[:, 40:80]),
+        "test": (edges[:, :40], edges[:, 40:80]),
+    }
+    res, t = evaluate_distributed(scorer, params, inf_edge, "Hits@50")
+    assert set(res) == {"Hits@10", "Hits@20", "Hits@50", "Hits@100"}
+    res_mrr, _ = evaluate_distributed(scorer, params, inf_edge, "MRR")
+    assert len(res_mrr) == 3
