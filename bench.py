@@ -22,10 +22,29 @@ import time
 import numpy as np
 
 BASELINE_QPS = 10_000 / 0.35  # paper Table 4: 0.35 s / 10K queries (A100)
+# C reference gset_sampler on this box (PARITY.md): ~22k sets/s at the
+# bench workload (M=100, S'=3) — sampling vs_baseline is measured against
+# the on-site C build, not the paper (which publishes no sets/s).
+BASELINE_SETS_PER_S = 22_000
+PEAK_BF16_FLOPS = {  # per chip
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+}
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def train_flops_per_query(L: int, ncol: int, h: int) -> float:
+    """Analytic FLOPs per query for one train step (fwd + bwd ~ 3x fwd):
+    pe MLP over [2 sides, L slots, 2 pair] tokens (ncol->h->h), set mean,
+    MergeLayer (2h->h->1). Elementwise ops excluded (HBM-bound, ~0 MXU)."""
+    tokens = 2 * L * 2
+    pe = tokens * 2 * (ncol * h + h * h)
+    merge = 2 * (2 * h * h + h)
+    return 3.0 * (pe + merge)
 
 
 def main():

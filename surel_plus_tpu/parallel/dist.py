@@ -215,6 +215,13 @@ def shard_spg_keys(spgk, mesh: Mesh) -> ShardedSpGKeys:
     size_sharding = NamedSharding(mesh, P("graph"))
 
     def put(x, sh):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            # multi-process global array (e.g. from partitioned sampling):
+            # np.asarray is illegal; pad on-device and reshard in place
+            if x.shape[0] != rows:
+                pad = jnp.zeros((rows - x.shape[0], *x.shape[1:]), x.dtype)
+                x = jnp.concatenate([x, pad])
+            return jax.device_put(x, sh)
         x = np.asarray(x)
         return jax.device_put(_pad_rows(x, rows), sh)
 
