@@ -67,6 +67,8 @@ def main():
     from surel_plus_tpu.train import TrainConfig
     from surel_plus_tpu.train.device import trainer_from_keys
 
+    from surel_plus_tpu.utils.profiling import metrics
+
     small = bool(int(os.environ.get("BENCH_SMALL", "0")))
     num_nodes = 100_000 if small else 250_000
     num_edges = 10 * num_nodes
@@ -91,13 +93,16 @@ def main():
     log(f"sampling (incl compile): {dt_sample:.1f}s "
         f"-> {num_nodes/dt_sample:,.0f} sets/s incl-compile")
     t0 = time.time()
-    spgk = sample_gsets_device_keys(g, seeds, num_walks=num_walks,
-                                    num_steps=num_steps, seed=1,
-                                    block_size=block)
-    _ = int(spgk.sizes.max())
+    with metrics.phase("sampling_warm", items=num_nodes):
+        spgk = sample_gsets_device_keys(g, seeds, num_walks=num_walks,
+                                        num_steps=num_steps, seed=1,
+                                        block_size=block)
+        _ = int(spgk.sizes.max())
     dt_sample = time.time() - t0
-    log(f"sampling warm: {dt_sample:.1f}s "
-        f"-> {num_nodes/dt_sample:,.0f} sets/s")
+    sets_per_s = num_nodes / dt_sample
+    walked_edges_per_s = num_nodes * num_walks * num_steps / dt_sample
+    log(f"sampling warm: {dt_sample:.1f}s -> {sets_per_s:,.0f} sets/s "
+        f"({walked_edges_per_s/1e6:.1f}M walked edges/s)")
 
     cfg = TrainConfig(batch_size=batch_size, lr=1e-3)
     model = Net(input_dim=num_steps + 1, hidden_dim=96, aggrs="mean",
@@ -126,9 +131,10 @@ def main():
 
     t0 = time.time()
     key, sub = jax.random.split(key)
-    params, opt_state, losses, aucs = trainer.fit(
-        params, opt_state, edges, labels, sub, n_epochs)
-    _ = float(losses[-1])
+    with metrics.phase("train", items=n_epochs * epoch_edges):
+        params, opt_state, losses, aucs = trainer.fit(
+            params, opt_state, edges, labels, sub, n_epochs)
+        _ = float(losses[-1])
     dt = time.time() - t0
     qps = n_epochs * epoch_edges / dt
     log(f"train: {n_epochs} epochs x {epoch_edges} queries in {dt:.2f}s")
@@ -137,19 +143,38 @@ def main():
     scores = trainer.predict(params, np.asarray(edges))      # compile
     _ = float(scores[0])
     t0 = time.time()
-    scores = trainer.predict(params, np.asarray(edges))
-    _ = float(scores[0])
+    with metrics.phase("inference", items=epoch_edges):
+        scores = trainer.predict(params, np.asarray(edges))
+        _ = float(scores[0])
     dt_inf = time.time() - t0
-    L = spgk.nodes.shape[1]
+    L = int(spgk.nodes.shape[1])
+    inf_qps = epoch_edges / dt_inf
     log(f"inference: {epoch_edges} queries in {dt_inf:.2f}s -> "
-        f"{epoch_edges/dt_inf:,.0f} q/s "
-        f"({epoch_edges/dt_inf*2*L:,.0f} joined set-slots/s)")
+        f"{inf_qps:,.0f} q/s ({inf_qps*2*L:,.0f} joined set-slots/s)")
+
+    for name, st in metrics.report().items():
+        log(f"phase {name}: {st.total_s:.2f}s x{st.count} "
+            f"({st.items_per_s:,.0f} items/s)")
+
+    ncol = num_steps + 1
+    fq = train_flops_per_query(L, ncol, 96)
+    peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind, 197e12)
+    mfu = qps * fq / peak
+    log(f"train MFU estimate: {qps:,.0f} q/s x {fq/1e6:.1f} MF/query "
+        f"= {qps*fq/1e12:.2f} TF/s -> {100*mfu:.1f}% of "
+        f"{peak/1e12:.0f} TF peak")
 
     print(json.dumps({
         "metric": "train_queries_per_s",
         "value": round(qps, 1),
         "unit": "queries/s",
         "vs_baseline": round(qps / BASELINE_QPS, 3),
+        "sets_per_s": round(sets_per_s, 1),
+        "sets_vs_c_reference": round(sets_per_s / BASELINE_SETS_PER_S, 3),
+        "walked_edges_per_s": round(walked_edges_per_s, 1),
+        "inference_queries_per_s": round(inf_qps, 1),
+        "joined_slots_per_s": round(inf_qps * 2 * L, 1),
+        "train_mfu": round(mfu, 4),
     }))
 
 

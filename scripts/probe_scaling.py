@@ -14,13 +14,16 @@ Usage: [JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8]
        python scripts/probe_scaling.py [N ...]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
 import jax
-import jax.numpy as jnp
+
+if os.environ.get("SUREL_PLATFORM"):  # axon overrides env JAX_PLATFORMS
+    jax.config.update("jax_platforms", os.environ["SUREL_PLATFORM"])
 
 from surel_plus_tpu.graph.synthetic import rmat_graph
 from surel_plus_tpu.parallel.dist import make_mesh, sample_gsets_sharded

@@ -41,6 +41,7 @@ from surel_plus_tpu.utils.config import (
     ExperimentConfig, add_config_args, apply_dataset_overrides,
     config_from_args)
 from surel_plus_tpu.utils.logger import ResultLogger, set_up_log
+from surel_plus_tpu.utils.profiling import metrics
 from surel_plus_tpu.utils.seeding import set_random_seed
 
 log = logging.getLogger(__name__)
@@ -49,6 +50,10 @@ log = logging.getLogger(__name__)
 def load_raw(cfg: ExperimentConfig) -> RawLinkData:
     if cfg.dataset.startswith("ogbl-"):
         return from_ogb(cfg.dataset)
+    if cfg.dataset.startswith("fixture-"):
+        from surel_plus_tpu.graph.datasets import fixture_link_data
+
+        return fixture_link_data(cfg.dataset.split("-", 1)[1])
     if "synth" in cfg.dataset:
         return synthetic_link_data(
             num_nodes=cfg.synth_nodes, num_edges=cfg.synth_edges,
@@ -199,6 +204,7 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
         scorer = ScalarLinkPredictor(model, z_spg, tcfg, feature=feature)
     logger.info("Prep. Runtime (%s): %.2fs", cfg.sencoder,
                 time.time() - prep_start)
+    metrics.add("prep", time.time() - prep_start)
 
     edges = np.concatenate(train_edge, axis=1)
     labels = np.concatenate([
@@ -259,8 +265,9 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
                         start_epoch)
         for epoch in range(start_epoch, cfg.epochs):
             key, sub = jax.random.split(key)
-            params, opt_state, loss, auc = run_epoch(params, opt_state,
-                                                     sub)
+            with metrics.phase("train_epoch", items=edges.shape[1]):
+                params, opt_state, loss, auc = run_epoch(params, opt_state,
+                                                         sub)
             logger.info("Run: %02d, Epoch: %02d, Loss: %.4f, AUC: %.4f",
                         run + 1, epoch, loss, auc)
             if epoch % cfg.eval_steps == 0:
@@ -269,7 +276,8 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
                      "epoch": np.asarray(epoch),
                      "key": np.asarray(key)},
                     f"{cfg.log_dir}/{cfg.dataset}/model/latest_{run}")
-                results, d_inf = run_eval(params)
+                with metrics.phase("eval"):
+                    results, d_inf = run_eval(params)
                 logger.info("eval: %s (T_test %.2f)", results, d_inf)
                 if rlog.add_result(run, results):
                     save_checkpoint(
@@ -280,6 +288,9 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
         rlog.print_statistics(run=run, logger=logger)
     if cfg.runs > 1:
         rlog.print_statistics(logger=logger)
+    for name, st in metrics.report().items():
+        logger.info("phase %s: %.2fs x%d (%,.0f items/s)".replace(
+            "%,", "%"), name, st.total_s, st.count, st.items_per_s)
     return {"results": rlog,
             "best": [rlog.best(r) for r in range(cfg.runs)]}
 

@@ -62,6 +62,36 @@ def from_ogb(name: str) -> RawLinkData:
     )
 
 
+def fixture_link_data(name: str = "collab") -> RawLinkData:
+    """Load the committed recorded-split fixture (BLOCKED_OGB.md): a
+    collab-shaped weighted graph in the OGB split layout, standing in for
+    the unreachable real download. Deterministic across machines."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "fixtures",
+        f"{name}_fixture.npz")
+    z = np.load(path)
+    train_e = np.asarray(z["train_edge"], dtype=np.int64)
+    split_edge = {
+        "train": {"edge": train_e, "weight": z["train_weight"]},
+        "valid": {"edge": np.asarray(z["valid_edge"], dtype=np.int64),
+                  "weight": z["valid_weight"],
+                  "edge_neg": np.asarray(z["valid_neg"], dtype=np.int64)},
+        "test": {"edge": np.asarray(z["test_edge"], dtype=np.int64),
+                 "weight": z["test_weight"],
+                 "edge_neg": np.asarray(z["test_neg"], dtype=np.int64)},
+    }
+    return RawLinkData(
+        edge_index=train_e.T,
+        split_edge=split_edge,
+        num_nodes=int(z["num_nodes"]),
+        x=None,
+        edge_weight=np.asarray(z["train_weight"]),
+        directed=False,
+    )
+
+
 def _torch_split_to_numpy(split_edge):
     out = {}
     for split, d in split_edge.items():

@@ -56,6 +56,13 @@ class Metrics:
             s.count += 1
             s.items += items
 
+    def add(self, name: str, seconds: float, items: int = 0) -> None:
+        """Record an externally-timed span under `name`."""
+        s = self._stats[name]
+        s.total_s += seconds
+        s.count += 1
+        s.items += items
+
     def report(self) -> Dict[str, PhaseStat]:
         return dict(self._stats)
 
