@@ -219,10 +219,23 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
         edges_dev = jnp.asarray(edges)
         labels_dev = jnp.asarray(labels)
 
-        def run_epoch(params, opt_state, key):
-            p, o, loss, auc = trainer.train_epoch(
-                params, opt_state, edges_dev, labels_dev, key)
-            return p, o, float(loss), float(auc)
+        if cfg.balance_widths:
+            bucket_w = int(trainer.sarr[0].shape[1])
+            classes = tuple(sorted(
+                int(w) for w in cfg.balance_widths.split(",")))
+            if classes[-1] < bucket_w:
+                classes = classes + (bucket_w,)
+            logger.info("balanced-width batching: classes %s", classes)
+
+            def run_epoch(params, opt_state, key):
+                p, o, losses, aucs, _ = trainer.fit_balanced(
+                    params, opt_state, edges, labels, key, 1, classes)
+                return p, o, float(losses[0]), float(aucs[0])
+        else:
+            def run_epoch(params, opt_state, key):
+                p, o, loss, auc = trainer.train_epoch(
+                    params, opt_state, edges_dev, labels_dev, key)
+                return p, o, float(loss), float(auc)
 
         def run_eval(params):
             return evaluate_device(scorer, params, inf_edge, cfg.metric)

@@ -48,6 +48,9 @@ class ExperimentConfig:
     log_steps: int = 1
     nthread: int = -1
     engine: str = "auto"               # auto | host | device
+    # comma-separated tile widths for balanced-|S_Q| batching (paper 3.3),
+    # e.g. "64,128,301"; empty = fixed-bucket batches. Device engine only.
+    balance_widths: str = ""
     metric: str = "MRR"
     log_dir: str = "./log/"
     load_model: Optional[str] = None
