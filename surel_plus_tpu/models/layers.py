@@ -107,6 +107,12 @@ class LSTMAggregation(nn.Module):
 
     hidden_dim: int
     unroll: int = 8
+    # remat granularity: the scan over set slots checkpoints every `chunk`
+    # steps, so backward stores carries only at chunk boundaries and
+    # recomputes gates inside — without this, L=301 training stores every
+    # per-step carry and OOMs HBM at production batch sizes (measured
+    # 24.4 GB > 15.75 GB on v5e at bs=4096, hidden 96).
+    chunk: int = 32
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
@@ -136,7 +142,24 @@ class LSTMAggregation(nn.Module):
             return (jnp.where(keep, new_c, c),
                     jnp.where(keep, new_h, hid)), None
 
-        (c, hidden), _ = jax.lax.scan(
-            step, carry0, (jnp.moveaxis(xproj, 1, 0), jnp.moveaxis(mf, 1, 0)),
-            unroll=self.unroll)
+        chunk = min(self.chunk, L)
+        pad = (-L) % chunk
+        xs_x = jnp.moveaxis(xproj, 1, 0)            # [L, B, 4H]
+        xs_m = jnp.moveaxis(mf, 1, 0)               # [L, B]
+        if pad:
+            # padded slots are masked out -> carry passes through
+            xs_x = jnp.concatenate(
+                [xs_x, jnp.zeros((pad, B, 4 * H), xs_x.dtype)])
+            xs_m = jnp.concatenate(
+                [xs_m, jnp.zeros((pad, B), xs_m.dtype)])
+        nchunks = (L + pad) // chunk
+        xs_x = xs_x.reshape(nchunks, chunk, B, 4 * H)
+        xs_m = xs_m.reshape(nchunks, chunk, B)
+
+        @jax.checkpoint
+        def chunk_body(carry, xs):
+            return jax.lax.scan(step, carry, xs,
+                                unroll=min(self.unroll, chunk))
+
+        (c, hidden), _ = jax.lax.scan(chunk_body, carry0, (xs_x, xs_m))
         return hidden.reshape((*batch_shape, H))
