@@ -1,0 +1,90 @@
+"""Per-source 1000-negative MRR evaluation at citation2 scale.
+
+The reference's dominant eval shape (train.py:245-280, utils.py:78-95):
+each positive query scored against 1000 per-source negatives — citation2
+totals 86.6M scored pairs and takes 1,389 s on an A100 (Table 4). This
+probe runs the same shape on one TPU chip: 80k sources x (1 pos + 1000
+negs) = 80.88M scored pairs through the SpJoin + model + device MRR.
+
+python scripts/probe_mrr_scale.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_bench_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp  # noqa: E402
+
+from surel_plus_tpu.graph.synthetic import rmat_graph  # noqa: E402
+from surel_plus_tpu.models import Net  # noqa: E402
+from surel_plus_tpu.ops.sampler import sample_gsets_device_keys  # noqa
+from surel_plus_tpu.train import TrainConfig  # noqa: E402
+from surel_plus_tpu.train.device import (  # noqa: E402
+    device_mrr, trainer_from_keys)
+
+N_SRC = 80_000
+K_NEG = 1000
+
+
+def main():
+    num_nodes, num_edges = 250_000, 2_500_000
+    M, S = 100, 3
+    g = rmat_graph(num_nodes, num_edges, seed=0)
+    seeds = np.arange(num_nodes, dtype=np.int32)
+    spgk = sample_gsets_device_keys(g, seeds, num_walks=M, num_steps=S,
+                                    seed=0)
+    _ = int(spgk.sizes.max())
+    print(f"sampled; device={jax.devices()[0].device_kind}", flush=True)
+
+    cfg = TrainConfig(batch_size=4096, lr=1e-3)
+    model = Net(input_dim=S + 1, hidden_dim=96, dropout=0.1,
+                dtype="bfloat16")
+    tr = trainer_from_keys(model, spgk, cfg)
+    rng = np.random.default_rng(0)
+    init_edges = rng.integers(0, num_nodes, size=(2, 4096)).astype(np.int32)
+    params, _ = tr.init(jax.random.PRNGKey(0), init_edges)
+
+    src = rng.integers(0, num_nodes, N_SRC).astype(np.int32)
+    pos_dst = rng.integers(0, num_nodes, N_SRC).astype(np.int32)
+    pos_edges = np.stack([src, pos_dst])
+
+    # per-source negatives, scored in row-major [src, k] order like the
+    # reference's reshape(-1, k) (train.py:264-268)
+    total = N_SRC * (K_NEG + 1)
+    print(f"scoring {total/1e6:.1f}M pairs "
+          f"({N_SRC} sources x {K_NEG} negs)...", flush=True)
+
+    # warm the scoring program on one batch-aligned chunk
+    _ = float(tr.predict(params, pos_edges)[0])
+
+    t0 = time.time()
+    pos_scores = tr.predict(params, pos_edges)
+    CH = 4_000_000  # negatives scored in 4M-pair device chunks
+    neg_parts = []
+    for lo in range(0, N_SRC, CH // K_NEG):
+        hi = min(lo + CH // K_NEG, N_SRC)
+        ns = np.repeat(src[lo:hi], K_NEG)
+        nd = rng.integers(0, num_nodes, (hi - lo) * K_NEG).astype(np.int32)
+        neg_edges = np.stack([ns, nd])
+        neg_parts.append(tr.predict(params, neg_edges).reshape(-1, K_NEG))
+    neg_scores = jnp.concatenate(neg_parts)
+    mrr = float(device_mrr(pos_scores, neg_scores))
+    dt = time.time() - t0
+    print(f"MRR={mrr:.4f} over {total/1e6:.1f}M pairs in {dt:.1f}s -> "
+          f"{total/dt/1e6:.2f}M pairs/s "
+          f"(reference citation2: 86.6M pairs / 1389s = 0.062M pairs/s "
+          f"on A100 -> {total/dt/62_350:.1f}x)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

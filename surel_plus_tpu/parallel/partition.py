@@ -246,3 +246,94 @@ def sample_gsets_partitioned(
     return SpGKeys(nodes=nodes, khi=hi, klo=lo,
                    sizes=sizes, num_walks=num_walks,
                    num_steps=num_steps)
+
+
+def sample_gsets_grouped(
+    graph: CSRGraph,
+    seeds: np.ndarray,
+    num_walks: int,
+    num_steps: int,
+    mesh: Mesh,
+    group_size: int,
+    seed: int = 111413,
+    bucket: Optional[int] = None,
+):
+    """Replica-group sampling: the graph is partitioned over `group_size`
+    devices (one replica per group), and seeds are data-parallel across
+    the G/group_size groups — interpolating between the replicated
+    seed-parallel path (group_size=1: zero communication, graph must fit
+    one device) and the fully partitioned path (group_size=G: graph
+    memory / G, frontier exchange inside the group only).
+
+    Frontier exchange collectives run over the intra-group axis, so on
+    real hardware they ride the shortest ICI hops. Returns an SpGKeys
+    sharded over (groups x shard) row-major seed order."""
+    from surel_plus_tpu.spg.spg import SpGKeys
+
+    seeds = np.asarray(seeds, dtype=np.int32)
+    n = len(seeds)
+    if bucket is None:
+        bucket = num_walks * num_steps + 1
+    ndev = int(np.prod(list(mesh.shape.values())))
+    assert ndev % group_size == 0, (ndev, group_size)
+    n_groups = ndev // group_size
+    pcsr = partition_csr(graph, group_size, seed=seed)
+    rps = pcsr.rows_per_shard
+    per = (n + ndev - 1) // ndev
+    n_pad = per * ndev
+    seeds_pad = (np.concatenate([seeds, np.zeros(n_pad - n, np.int32)])
+                 if n_pad > n else seeds)
+    M, S = num_walks, num_steps
+    gmesh = Mesh(np.asarray(mesh.devices).reshape(n_groups, group_size),
+                 ("group", "shard"))
+
+    # the per-shard CSR is REPLICATED across groups, partitioned within:
+    # every group's shard s holds the same rows
+    def local(lindptr, lindices, lshuffled, seeds_shard, key):
+        shard = jax.lax.axis_index("shard")
+        group = jax.lax.axis_index("group")
+        lindptr = lindptr[0]
+        lindices = lindices[0]
+        lshuffled = lshuffled[0]
+        sd = seeds_shard[0, 0]                       # [per]
+
+        m = jnp.broadcast_to(
+            jnp.arange(M, dtype=jnp.int32)[None, :], (per, M))
+        cur = _probe_step(lindptr, lshuffled,
+                          jnp.broadcast_to(sd[:, None], (per, M)),
+                          m.astype(jnp.uint32), shard, rps, "shard")
+        walks = [cur]
+        if S > 1:
+            step_keys = jax.random.split(key, S - 1)
+            flat_idx = group * group_size + shard
+
+            def body(cur, step_key):
+                r_full = jax.random.bits(step_key, (n_pad, M),
+                                         dtype=jnp.uint32)
+                r = jax.lax.dynamic_slice_in_dim(
+                    r_full, flat_idx * per, per, axis=0)
+                nxt = _probe_step(lindptr, lindices, cur, r, shard, rps,
+                                  "shard")
+                return nxt, nxt
+
+            _, rest = jax.lax.scan(body, cur, step_keys)
+            walks += [rest[i] for i in range(S - 1)]
+        wmat = jnp.stack(walks, axis=-1)
+        return walk_ops._build_sets_packed_block(sd, wmat, M, S, bucket)
+
+    sharded = jax.shard_map(
+        local, mesh=gmesh,
+        in_specs=(P("shard", None), P("shard", None), P("shard", None),
+                  P("group", "shard", None), P()),
+        out_specs=(P(("group", "shard"), None), P(("group", "shard")),
+                   P(("group", "shard"), None), P(("group", "shard"), None)),
+        check_vma=False,
+    )
+    nodes, sizes, hi, lo = jax.jit(sharded)(
+        pcsr.indptr, pcsr.indices, pcsr.shuffled,
+        seeds_pad.reshape(n_groups, group_size, per),
+        jax.random.PRNGKey(seed))
+    if n_pad > n and jax.process_count() == 1:
+        nodes, sizes, hi, lo = nodes[:n], sizes[:n], hi[:n], lo[:n]
+    return SpGKeys(nodes=nodes, khi=hi, klo=lo, sizes=sizes,
+                   num_walks=num_walks, num_steps=num_steps)

@@ -120,3 +120,20 @@ def test_partitioned_train_step_matches_single(setup):
                       jnp.asarray(labels), jnp.asarray(weights),
                       jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(loss), want, rtol=1e-5)
+
+
+def test_grouped_matches_single_device(setup):
+    """Replica-group sampling (graph over K devices, seeds across G/K
+    groups) == one-device kernel bit for bit, for K in {1, 2, 4}."""
+    from surel_plus_tpu.parallel.partition import sample_gsets_grouped
+
+    g, seeds = setup
+    mesh = make_mesh()
+    nodes1, sizes1, hi1, lo1 = _single_device(g, seeds, SEED)
+    for K in (1, 2, 4):
+        spgk = sample_gsets_grouped(g, seeds, M, S, mesh, group_size=K,
+                                    seed=SEED)
+        np.testing.assert_array_equal(np.asarray(spgk.sizes), sizes1)
+        np.testing.assert_array_equal(np.asarray(spgk.nodes), nodes1)
+        np.testing.assert_array_equal(np.asarray(spgk.khi), hi1)
+        np.testing.assert_array_equal(np.asarray(spgk.klo), lo1)
