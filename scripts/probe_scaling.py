@@ -18,6 +18,9 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax
@@ -73,18 +76,20 @@ def main():
         pcsr = partition_csr(g, n, seed=SEED)
         flatmesh = make_mesh(n, graph_axis=n)
 
-        def run_part():
+        def run_part(routing):
             spgk = sample_gsets_partitioned(pcsr, seeds, M, S, flatmesh,
-                                            seed=SEED)
+                                            seed=SEED, routing=routing)
             return spgk.sizes
 
-        t_part = time_fn(run_part)
+        t_probe = time_fn(lambda: run_part("probe"))
+        t_cap = time_fn(lambda: run_part("capacity"))
+        t_part = min(t_probe, t_cap)
         rows.append((n, t_repl, t_part))
         print(f"N={n}: replicated {t_repl*1e3:8.1f} ms "
               f"({edges_walked/t_repl/1e6:7.2f} M edges/s)   "
-              f"partitioned {t_part*1e3:8.1f} ms "
-              f"({edges_walked/t_part/1e6:7.2f} M edges/s)   "
-              f"overhead x{t_part/t_repl:.2f}", flush=True)
+              f"probe {t_probe*1e3:8.1f} ms (x{t_probe/t_repl:.2f})   "
+              f"capacity {t_cap*1e3:8.1f} ms (x{t_cap/t_repl:.2f})",
+              flush=True)
 
     base = rows[0]
     print("\nstrong scaling (fixed total work) vs N=%d:" % base[0])

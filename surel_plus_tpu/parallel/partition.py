@@ -10,12 +10,23 @@ Design:
     [g*rps, (g+1)*rps). Each device holds ONLY its shard (indptr rebased
     to the shard start, indices/shuffled padded to the max shard nnz) —
     total graph memory divides by the mesh size.
-  * walks cross partitions through an owner-computed frontier exchange:
-    each step, every device ships its walkers' (current node, random
-    bits) to the mesh (`all_gather` of ids — 8 bytes/walker), the node's
-    owner computes `indices[start + r % deg]` locally, and answers route
-    back with one `all_to_all`. The walk STATE never leaves the seed's
-    device; only (id, answer) scalars cross the interconnect.
+  * walks cross partitions through an owner-computed frontier exchange;
+    two interchangeable transports (identical results):
+      - `_route_step`: capacity-routed — requests counting-sort
+        by owner into a [G, C] buffer, one `all_to_all` each way; per-
+        device work O(R), wire bytes O(R). Falls back to the probe for a
+        whole step if a destination overflows C = 1.25*R/G (binomially
+        negligible at production R, decided by a mesh-uniform psum).
+      - `_probe_step` (default): every device sees every request
+        (`all_gather`), answers what it owns; O(G*R) owner work but zero
+        routing overhead. Measured faster on the virtual CPU mesh (where
+        gathers are cheap vector loads: probe x1.0-1.16 vs replicated,
+        capacity x1.7-2.3); the capacity transport's O(R) advantage is
+        sized for real TPU meshes (per-element gathers ~1/cycle, G
+        large) — flip the default after measuring on multi-chip
+        hardware.
+    The walk STATE never leaves the seed's device; only (id, answer)
+    scalars cross the interconnect.
   * randomness is generated at the global block shape and sliced per
     shard, so partitioned sampling is BIT-IDENTICAL to the single-device
     kernel (ops/walk.py:_walk_block) for the same key — tested in
@@ -156,6 +167,94 @@ def _probe_step(lindptr, table, nodes, aux, shard, rps, axis):
     return routed.sum(axis=0)
 
 
+def _route_step(lindptr, table, nodes, aux, shard, rps, axis, G_int,
+                capacity_slack: float = 1.25):
+    """Capacity-routed owner-computed neighbor pick — the scalable
+    alternative to `_probe_step`.
+
+    `_probe_step` broadcasts every request to every device, so owner-side
+    work is G x redundant. Here each request travels ONLY to its owner:
+      1. row-sort requests by destination shard (fast batched sort),
+      2. per-destination ranks via searchsorted + cumsums (vector ops),
+      3. scatter into a [G, C] send buffer (R one-element scatters —
+         same per-element rate as gathers, but R of them, not G*R),
+      4. one all_to_all out, owner gathers answers for slack*R slots,
+         one all_to_all back, requester gathers its R answers by rank.
+    Per-device cost ~(4+slack)*R element ops and ~3*slack*R*4 bytes on
+    the wire vs (1+2G)*R ops / 12*G*R bytes for the probe.
+
+    C = slack * R/G. Per-dest counts concentrate (binomial, sigma/mu =
+    sqrt(G/R)), so overflow is vanishingly rare at production R; when it
+    does happen every device jointly falls back to the probe path for
+    the whole frontier (uniform predicate via psum) — results are
+    identical either way.
+    """
+    B, M = nodes.shape
+    R = B * M
+    cap = int(np.ceil(capacity_slack * R / G_int))
+
+    dest = (nodes // rps).astype(jnp.int32)          # [B, M]
+    # 1. row-sort by dest carrying (node, aux, original column)
+    col = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+    sdest, snode, saux, scol = jax.lax.sort(
+        (dest, nodes, aux, col), dimension=1, num_keys=1)
+
+    # 2. per-row per-dest span starts: lower_bound of g in sorted dests
+    targets = jnp.broadcast_to(
+        jnp.arange(G_int + 1, dtype=jnp.int32)[None, :], (B, G_int + 1))
+    bounds = walk_ops.rows_searchsorted(sdest, targets)  # [B, G+1]
+    cnt = bounds[:, 1:] - bounds[:, :-1]                 # [B, G]
+    row_pref = jnp.cumsum(cnt, axis=0) - cnt             # excl over rows
+    t_total = cnt.sum(axis=0)                            # [G]
+
+    # 3. per-element rank within its destination
+    span_start = jnp.take_along_axis(bounds, sdest, axis=1)  # [B, M]
+    rpref = jnp.take_along_axis(row_pref, sdest, axis=1)     # [B, M]
+    pos_in_row = jnp.broadcast_to(
+        jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+    rank = rpref + (pos_in_row - span_start)                 # [B, M]
+    slot = sdest * cap + rank                                # [B, M]
+    ok = rank < cap
+
+    def capacity_path(_):
+        send_node = jnp.zeros((G_int * cap,), jnp.int32)
+        send_aux = jnp.zeros((G_int * cap,), jnp.uint32)
+        # overflowed ranks target the out-of-range sentinel -> dropped
+        # (the cond falls back to the probe path in that case anyway)
+        safe_slot = jnp.where(ok, slot, G_int * cap).reshape(-1)
+        send_node = send_node.at[safe_slot].set(
+            snode.reshape(-1), mode="drop")
+        send_aux = send_aux.at[safe_slot].set(
+            saux.reshape(-1), mode="drop")
+        sb_node = send_node.reshape(G_int, cap)
+        sb_aux = send_aux.reshape(G_int, cap)
+        rq_node = jax.lax.all_to_all(sb_node, axis, split_axis=0,
+                                     concat_axis=0, tiled=False)
+        rq_aux = jax.lax.all_to_all(sb_aux, axis, split_axis=0,
+                                    concat_axis=0, tiled=False)
+        lid = jnp.clip(rq_node - shard * rps, 0, rps - 1)
+        start = lindptr[lid]
+        deg = lindptr[lid + 1] - start
+        pick = (rq_aux % jnp.maximum(deg, 1).astype(jnp.uint32)
+                ).astype(jnp.int32)
+        ans = table[start + pick]
+        ans = jnp.where(deg > 0, ans, rq_node)
+        ans_back = jax.lax.all_to_all(ans, axis, split_axis=0,
+                                      concat_axis=0, tiled=False)
+        got = ans_back.reshape(-1)[jnp.where(ok, slot, 0).reshape(-1)]
+        got = got.reshape(B, M)
+        # un-sort: place answers back at the original columns
+        _, out = jax.lax.sort((scol, got), dimension=1, num_keys=1)
+        return out
+
+    def probe_path(_):
+        return _probe_step(lindptr, table, nodes, aux, shard, rps, axis)
+
+    overflow = jnp.any(t_total > cap)
+    overflow = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
+    return jax.lax.cond(overflow, probe_path, capacity_path, operand=None)
+
+
 def sample_gsets_partitioned(
     pcsr: PartitionedCSR,
     seeds: np.ndarray,
@@ -164,6 +263,7 @@ def sample_gsets_partitioned(
     mesh: Mesh,
     seed: int = 111413,
     bucket: Optional[int] = None,
+    routing: str = "probe",
 ):
     """Multi-device set sampling over an edge-partitioned graph.
 
@@ -193,6 +293,13 @@ def sample_gsets_partitioned(
     axis = "shard"
     flat_mesh = Mesh(np.asarray(mesh.devices).reshape(-1), (axis,))
 
+    if routing == "capacity":
+        def step_fn(lp, tb, nd, au, sh):
+            return _route_step(lp, tb, nd, au, sh, rps, axis, G)
+    else:
+        def step_fn(lp, tb, nd, au, sh):
+            return _probe_step(lp, tb, nd, au, sh, rps, axis)
+
     def local(lindptr, lindices, lshuffled, seeds_shard, key):
         shard = jax.lax.axis_index(axis)
         lindptr = lindptr[0]
@@ -204,9 +311,9 @@ def sample_gsets_partitioned(
         # ops/walk.py:_walk_block's shuffled-indices semantics) ----
         m = jnp.broadcast_to(
             jnp.arange(M, dtype=jnp.int32)[None, :], (per, M))
-        cur = _probe_step(lindptr, lshuffled,
-                          jnp.broadcast_to(sd[:, None], (per, M)),
-                          m.astype(jnp.uint32), shard, rps, axis)
+        cur = step_fn(lindptr, lshuffled,
+                      jnp.broadcast_to(sd[:, None], (per, M)),
+                      m.astype(jnp.uint32), shard)
         walks = [cur]
 
         # ---- steps 1..S-1: uniform with replacement; bits generated at
@@ -220,8 +327,7 @@ def sample_gsets_partitioned(
                                          dtype=jnp.uint32)
                 r = jax.lax.dynamic_slice_in_dim(r_full, shard * per, per,
                                                  axis=0)
-                nxt = _probe_step(lindptr, lindices, cur, r, shard, rps,
-                                  axis)
+                nxt = step_fn(lindptr, lindices, cur, r, shard)
                 return nxt, nxt
 
             _, rest = jax.lax.scan(body, cur, step_keys)
@@ -257,6 +363,7 @@ def sample_gsets_grouped(
     group_size: int,
     seed: int = 111413,
     bucket: Optional[int] = None,
+    routing: str = "probe",
 ):
     """Replica-group sampling: the graph is partitioned over `group_size`
     devices (one replica per group), and seeds are data-parallel across
@@ -287,6 +394,14 @@ def sample_gsets_grouped(
     gmesh = Mesh(np.asarray(mesh.devices).reshape(n_groups, group_size),
                  ("group", "shard"))
 
+    if routing == "capacity":
+        def gstep_fn(lp, tb, nd, au, sh):
+            return _route_step(lp, tb, nd, au, sh, rps, "shard",
+                               group_size)
+    else:
+        def gstep_fn(lp, tb, nd, au, sh):
+            return _probe_step(lp, tb, nd, au, sh, rps, "shard")
+
     # the per-shard CSR is REPLICATED across groups, partitioned within:
     # every group's shard s holds the same rows
     def local(lindptr, lindices, lshuffled, seeds_shard, key):
@@ -299,9 +414,9 @@ def sample_gsets_grouped(
 
         m = jnp.broadcast_to(
             jnp.arange(M, dtype=jnp.int32)[None, :], (per, M))
-        cur = _probe_step(lindptr, lshuffled,
-                          jnp.broadcast_to(sd[:, None], (per, M)),
-                          m.astype(jnp.uint32), shard, rps, "shard")
+        cur = gstep_fn(lindptr, lshuffled,
+                       jnp.broadcast_to(sd[:, None], (per, M)),
+                       m.astype(jnp.uint32), shard)
         walks = [cur]
         if S > 1:
             step_keys = jax.random.split(key, S - 1)
@@ -312,8 +427,7 @@ def sample_gsets_grouped(
                                          dtype=jnp.uint32)
                 r = jax.lax.dynamic_slice_in_dim(
                     r_full, flat_idx * per, per, axis=0)
-                nxt = _probe_step(lindptr, lindices, cur, r, shard, rps,
-                                  "shard")
+                nxt = gstep_fn(lindptr, lindices, cur, r, shard)
                 return nxt, nxt
 
             _, rest = jax.lax.scan(body, cur, step_keys)

@@ -137,3 +137,19 @@ def test_grouped_matches_single_device(setup):
         np.testing.assert_array_equal(np.asarray(spgk.nodes), nodes1)
         np.testing.assert_array_equal(np.asarray(spgk.khi), hi1)
         np.testing.assert_array_equal(np.asarray(spgk.klo), lo1)
+
+
+def test_capacity_routing_matches_probe(setup):
+    """The capacity-routed transport gives identical results to the
+    broadcast probe (and to the single-device kernel)."""
+    g, seeds = setup
+    mesh = make_mesh()
+    ndev = len(jax.devices())
+    pcsr = partition_csr(g, ndev, seed=SEED)
+    nodes1, sizes1, hi1, lo1 = _single_device(g, seeds, SEED)
+    spgk = sample_gsets_partitioned(pcsr, seeds, M, S, mesh, seed=SEED,
+                                    routing="capacity")
+    np.testing.assert_array_equal(np.asarray(spgk.sizes), sizes1)
+    np.testing.assert_array_equal(np.asarray(spgk.nodes), nodes1)
+    np.testing.assert_array_equal(np.asarray(spgk.khi), hi1)
+    np.testing.assert_array_equal(np.asarray(spgk.klo), lo1)
