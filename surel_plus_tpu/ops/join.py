@@ -60,16 +60,24 @@ def _cross_lookup_multi(nodes_a: jax.Array, nodes_b: jax.Array,
     """
     B, L = nodes_a.shape
     zero_pays = [jnp.zeros((B, L), p.dtype) for p in payloads_b]
+    # pack the origin tag into the node key's low bit (node ids are
+    # < 2^31 so uint32 node<<1|tag is exact): ONE sort key and one fewer
+    # operand — sort cost scales with both. For equal nodes the b copy
+    # (tag 0) lands immediately left of the a copy (tag 1), as before.
     vals = jnp.concatenate([nodes_b, nodes_a], axis=1)       # [B, 2L]
     tag = jnp.concatenate([
-        jnp.zeros((B, L), jnp.int32), jnp.ones((B, L), jnp.int32)], axis=1)
+        jnp.zeros((B, L), jnp.uint32), jnp.ones((B, L), jnp.uint32)],
+        axis=1)
+    packed = (vals.astype(jnp.uint32) << 1) | tag
     pays = [jnp.concatenate([p, z], axis=1)
             for p, z in zip(payloads_b, zero_pays)]
     pos = jnp.broadcast_to(jnp.arange(2 * L, dtype=jnp.int32)[None, :],
                            (B, 2 * L))
-    sorted_ops = jax.lax.sort((vals, tag, pos, *pays), num_keys=2)
-    sv, st, sp = sorted_ops[0], sorted_ops[1], sorted_ops[2]
-    spays = sorted_ops[3:]
+    sorted_ops = jax.lax.sort((packed, pos, *pays), num_keys=1)
+    spk, sp = sorted_ops[0], sorted_ops[1]
+    spays = sorted_ops[2:]
+    sv = (spk >> 1).astype(jnp.int32)
+    st = spk & 1
     # an a-element (tag 1) matches when its left neighbor is the b copy
     hit = jnp.concatenate([
         jnp.zeros((B, 1), bool),
@@ -87,6 +95,59 @@ def _cross_lookup(nodes_a: jax.Array, nodes_b: jax.Array,
                   eidx_b: jax.Array) -> jax.Array:
     """Single-payload cross lookup (see _cross_lookup_multi)."""
     return _cross_lookup_multi(nodes_a, nodes_b, eidx_b)[0]
+
+
+def _cross_lookup_bidir(nodes_u, nodes_v, hu, lu, hv, lv):
+    """BOTH cross directions from ONE merge sort.
+
+    The two `_cross_lookup_multi` calls of a join sort the same node
+    union twice; fused, each u slot reads its matching v payload from the
+    LEFT neighbor (v copies sort before u copies of the same node) and
+    each v slot reads its matching u payload from the RIGHT neighbor —
+    one 6-operand sort + one 5-operand unsort instead of 2 x (4 + 3),
+    ~21% fewer sorted elements and half the sort launches (measured
+    on-TPU train step win, see BENCH notes).
+
+    Returns (cu_hi, cu_lo, cv_hi, cv_lo): for each slot of nodes_u the
+    (hi, lo) payload of that node in nodes_v (0 if absent), and vice
+    versa. Rows ascending, unique, INT32_MAX padded.
+    """
+    B, L = nodes_u.shape
+    zeros_u32 = jnp.zeros((B, L), jnp.uint32)
+    vals = jnp.concatenate([nodes_v, nodes_u], axis=1)       # [B, 2L]
+    tag = jnp.concatenate([zeros_u32, jnp.ones((B, L), jnp.uint32)],
+                          axis=1)
+    packed = (vals.astype(jnp.uint32) << 1) | tag
+    pos = jnp.broadcast_to(jnp.arange(2 * L, dtype=jnp.int32)[None, :],
+                           (B, 2 * L))
+    pu_h = jnp.concatenate([zeros_u32, hu], axis=1)
+    pu_l = jnp.concatenate([zeros_u32, lu], axis=1)
+    pv_h = jnp.concatenate([hv, zeros_u32], axis=1)
+    pv_l = jnp.concatenate([lv, zeros_u32], axis=1)
+    spk, sp, su_h, su_l, sv_h, sv_l = jax.lax.sort(
+        (packed, pos, pu_h, pu_l, pv_h, pv_l), num_keys=1)
+    snode = (spk >> 1).astype(jnp.int32)
+    st = spk & 1
+    # u slot (tag 1) matches when its left neighbor is the v copy
+    hit_u = jnp.concatenate([
+        jnp.zeros((B, 1), bool),
+        (snode[:, 1:] == snode[:, :-1]) & (st[:, 1:] == 1)
+        & (st[:, :-1] == 0) & (snode[:, 1:] != INT32_MAX)], axis=1)
+    left = lambda x: jnp.concatenate([x[:, :1] * 0, x[:, :-1]], axis=1)
+    cu_h = jnp.where(hit_u, left(sv_h), 0)
+    cu_l = jnp.where(hit_u, left(sv_l), 0)
+    # v slot (tag 0) matches when its right neighbor is the u copy
+    hit_v = jnp.concatenate([
+        (snode[:, :-1] == snode[:, 1:]) & (st[:, :-1] == 0)
+        & (st[:, 1:] == 1) & (snode[:, :-1] != INT32_MAX),
+        jnp.zeros((B, 1), bool)], axis=1)
+    right = lambda x: jnp.concatenate([x[:, 1:], x[:, :1] * 0], axis=1)
+    cv_h = jnp.where(hit_v, right(su_h), 0)
+    cv_l = jnp.where(hit_v, right(su_l), 0)
+    out = jax.lax.sort((sp, cu_h, cu_l, cv_h, cv_l), num_keys=1)
+    _, cu_h, cu_l, cv_h, cv_l = out
+    # u slots were positions L..2L-1, v slots 0..L-1
+    return cu_h[:, L:], cu_l[:, L:], cv_h[:, :L], cv_l[:, :L]
 
 
 def gather_join(nodes: jax.Array, eidx: jax.Array, sizes: jax.Array,
@@ -182,10 +243,9 @@ def join_gathered_keys(rows_nodes, rows_hi, rows_lo, rows_sizes,
         cross_hi_v, cross_lo_v = pallas_cross_lookup_pair(
             nv, nu, rows_hi[0], rows_lo[0])
     else:
-        cross_hi_u, cross_lo_u = _cross_lookup_multi(
-            nu, nv, rows_hi[1], rows_lo[1])
-        cross_hi_v, cross_lo_v = _cross_lookup_multi(
-            nv, nu, rows_hi[0], rows_lo[0])
+        cross_hi_u, cross_lo_u, cross_hi_v, cross_lo_v = \
+            _cross_lookup_bidir(nu, nv, rows_hi[0], rows_lo[0],
+                                rows_hi[1], rows_lo[1])
     khi_pairs = jnp.stack([
         jnp.stack([rows_hi[0], cross_hi_u], axis=-1),
         jnp.stack([rows_hi[1], cross_hi_v], axis=-1),
@@ -210,13 +270,18 @@ def make_keys_hjoin(num_walks: int, num_steps: int):
         rh = khi[hedges]
         rl = klo[hedges]
         rs = sizes[hedges]
-        pairs = [(0, 2), (2, 0), (1, 2), (2, 1)]   # (anchor, cross)
+        # the four anchor/cross groups (u|w, w|u, v|w, w|v) are two
+        # bidirectional pairs — one fused merge sort each
         khi_list, klo_list, masks = [], [], []
-        for a, b in pairs:
-            chi, clo = _cross_lookup_multi(rn[a], rn[b], rh[b], rl[b])
-            khi_list.append(jnp.stack([rh[a], chi], axis=-1))
-            klo_list.append(jnp.stack([rl[a], clo], axis=-1))
+        for a, b in ((0, 2), (1, 2)):
+            ca_h, ca_l, cb_h, cb_l = _cross_lookup_bidir(
+                rn[a], rn[b], rh[a], rl[a], rh[b], rl[b])
+            khi_list.append(jnp.stack([rh[a], ca_h], axis=-1))
+            klo_list.append(jnp.stack([rl[a], ca_l], axis=-1))
             masks.append(rn[a] != INT32_MAX)
+            khi_list.append(jnp.stack([rh[b], cb_h], axis=-1))
+            klo_list.append(jnp.stack([rl[b], cb_l], axis=-1))
+            masks.append(rn[b] != INT32_MAX)
         feats = unpack_key_features(jnp.stack(khi_list),
                                     jnp.stack(klo_list),
                                     num_walks, num_steps)

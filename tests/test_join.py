@@ -72,3 +72,38 @@ def test_hgather_join_matches_naive():
         for gidx, want in enumerate(wants):
             got = [tuple(p) for p in eidx[gidx, b][mask[gidx, b]]]
             assert got == want, f"group {gidx} query {b}"
+
+
+def test_bidir_equals_two_multis():
+    """The fused bidirectional cross lookup == two independent
+    _cross_lookup_multi calls on random unique sorted rows."""
+    import jax.numpy as jnp
+
+    from surel_plus_tpu.ops.join import (_cross_lookup_bidir,
+                                         _cross_lookup_multi)
+    from surel_plus_tpu.ops.walk import INT32_MAX
+
+    rng = np.random.default_rng(4)
+    B, L = 7, 13
+
+    def rows():
+        nodes = np.full((B, L), INT32_MAX, np.int32)
+        h = np.zeros((B, L), np.uint32)
+        lo = np.zeros((B, L), np.uint32)
+        for b in range(B):
+            n = rng.integers(1, L + 1)
+            ids = np.sort(rng.choice(40, size=n, replace=False))
+            nodes[b, :n] = ids
+            h[b, :n] = rng.integers(0, 1 << 16, n)
+            lo[b, :n] = rng.integers(0, 1 << 16, n)
+        return (jnp.asarray(nodes), jnp.asarray(h), jnp.asarray(lo))
+
+    nu, hu, lu = rows()
+    nv, hv, lv = rows()
+    cu_h, cu_l, cv_h, cv_l = _cross_lookup_bidir(nu, nv, hu, lu, hv, lv)
+    want_u = _cross_lookup_multi(nu, nv, hv, lv)
+    want_v = _cross_lookup_multi(nv, nu, hu, lu)
+    np.testing.assert_array_equal(np.asarray(cu_h), np.asarray(want_u[0]))
+    np.testing.assert_array_equal(np.asarray(cu_l), np.asarray(want_u[1]))
+    np.testing.assert_array_equal(np.asarray(cv_h), np.asarray(want_v[0]))
+    np.testing.assert_array_equal(np.asarray(cv_l), np.asarray(want_v[1]))
