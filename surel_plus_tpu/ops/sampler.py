@@ -64,6 +64,25 @@ def shuffled_indices_for(graph: CSRGraph, seed: int):
     return cache[key]
 
 
+def walk_tables_for(graph: CSRGraph, seed: int):
+    """Edge-table pair for the one-gather-per-step walk
+    (`walk_ops.build_walk_tables`), cached per (graph, shuffle seed).
+    Returns (None, None) when the edge-table path is disabled."""
+    if not walk_ops._EDGE_TABLE:
+        return None, None
+    cache = getattr(graph, "_device_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(graph, "_device_cache", cache)
+    key = ("walk_tables", seed)
+    if key not in cache:
+        indptr, indices = device_graph(graph)
+        shuffled = shuffled_indices_for(graph, seed)
+        etab, stab = walk_ops.build_walk_tables(indptr, indices, shuffled)
+        cache[key] = (etab, stab)
+    return cache[key]
+
+
 def sample_gsets(
     graph: CSRGraph,
     seeds: np.ndarray,
@@ -90,6 +109,7 @@ def sample_gsets(
     indptr, indices = device_graph(graph)
     root = jax.random.PRNGKey(seed)
     shuffled = shuffled_indices_for(graph, seed)
+    etab, stab = walk_tables_for(graph, seed)
 
     nblocks = (n + block_size - 1) // block_size
     nodes_h = np.empty((n, bucket), dtype=np.int32)
@@ -105,7 +125,8 @@ def sample_gsets(
         nodes, sizes, hi, lo = walk_ops.sample_block(
             indptr, indices, shuffled, jnp.asarray(blk),
             jax.random.fold_in(root, b + 1),
-            num_walks=num_walks, num_steps=num_steps, bucket=bucket)
+            num_walks=num_walks, num_steps=num_steps, bucket=bucket,
+            etab=etab, stab=stab)
         m = hi_i - lo_i
         nodes_h[lo_i:hi_i] = np.asarray(nodes)[:m]
         sizes_h[lo_i:hi_i] = np.asarray(sizes)[:m]
@@ -313,6 +334,7 @@ def sample_gsets_device(
     indptr, indices = device_graph(graph)
     root = jax.random.PRNGKey(seed)
     shuffled = shuffled_indices_for(graph, seed)
+    etab, stab = walk_tables_for(graph, seed)
 
     log.info("sample_gsets_device: graph+shuffle ready %.1fs",
              time.time() - t0)
@@ -327,7 +349,8 @@ def sample_gsets_device(
         nodes, sizes, hi, lo = walk_ops.sample_block(
             indptr, indices, shuffled, jnp.asarray(blk),
             jax.random.fold_in(root, b + 1),
-            num_walks=num_walks, num_steps=num_steps, bucket=bucket)
+            num_walks=num_walks, num_steps=num_steps, bucket=bucket,
+            etab=etab, stab=stab)
         log.info("sample_gsets_device: block %d/%d dispatched %.1fs",
                  b + 1, nblocks, time.time() - t0)
         nodes_b.append(nodes)
@@ -406,6 +429,7 @@ def sample_gsets_device_keys(
     indptr, indices = device_graph(graph)
     root = jax.random.PRNGKey(seed)
     shuffled = shuffled_indices_for(graph, seed)
+    etab, stab = walk_tables_for(graph, seed)
 
     nblocks = (n + block_size - 1) // block_size
     nodes_b, sizes_b, hi_b, lo_b = [], [], [], []
@@ -418,7 +442,8 @@ def sample_gsets_device_keys(
         nodes, sizes, hi, lo = walk_ops.sample_block(
             indptr, indices, shuffled, jnp.asarray(blk),
             jax.random.fold_in(root, b + 1),
-            num_walks=num_walks, num_steps=num_steps, bucket=bucket)
+            num_walks=num_walks, num_steps=num_steps, bucket=bucket,
+            etab=etab, stab=stab)
         nodes_b.append(nodes)
         sizes_b.append(sizes)
         hi_b.append(hi)

@@ -43,6 +43,34 @@ INT32_MAX = np.iinfo(np.int32).max
 # baseline for A/B measurement.
 _FUSE_START_DEG = os.environ.get("SUREL_WALK_FUSION", "1") != "0"
 
+# edge-table walk: precompute [E, 3] (neighbor, neighbor_start,
+# neighbor_deg) rows so every walk step is ONE row gather — the scan
+# carries (cur, start, deg) and never touches indptr/indices again.
+# Bit-exact with the baseline (identical PRNG picks). SUREL_WALK_EDGE_TABLE=0
+# restores the two-gather-per-step path for A/B measurement.
+# Measured (TPU v5e, scripts/probe_walk_table.py, 250k nodes E=2.5M
+# M=100 S'=3): 140k -> 359k sets/s (x2.56).
+_EDGE_TABLE = os.environ.get("SUREL_WALK_EDGE_TABLE", "1") != "0"
+
+
+@jax.jit
+def build_walk_tables(indptr: jax.Array, indices: jax.Array,
+                      shuffled_indices: jax.Array):
+    """Build the edge-table pair for the one-gather-per-step walk.
+
+    etab[j] = (indices[j],  start[indices[j]],  deg[indices[j]])
+    stab[j] = (shuffled[j], start[shuffled[j]], deg[shuffled[j]])
+
+    Two [E]-row gathers, once per (graph, shuffle) — amortized over every
+    seed block; each walk step then needs a single [B, M, 3] row gather
+    instead of a [B, M, 2] row gather plus a per-element indices gather.
+    """
+    start_deg = jnp.stack([indptr[:-1], indptr[1:] - indptr[:-1]], axis=-1)
+    etab = jnp.concatenate([indices[:, None], start_deg[indices]], axis=1)
+    stab = jnp.concatenate(
+        [shuffled_indices[:, None], start_deg[shuffled_indices]], axis=1)
+    return etab, stab
+
 
 def enc_field_layout(num_walks: int, num_steps: int):
     """Bit layout for the packed landing-count key.
@@ -116,6 +144,56 @@ def rows_searchsorted(a: jax.Array, t: jax.Array) -> jax.Array:
         new_hi = jnp.where(active & ~go_right, mid, hi)
         lo, hi = new_lo, new_hi
     return lo
+
+
+def _walk_block_tables(indptr: jax.Array, etab: jax.Array, stab: jax.Array,
+                       seeds: jax.Array, num_walks: int, num_steps: int,
+                       key: jax.Array, replacement: bool = False
+                       ) -> jax.Array:
+    """Edge-table walk: one [B, M, 3] row gather per step (see
+    `build_walk_tables`). Emits node ids identical to `_walk_block` — the
+    PRNG draws and modular picks are computed with the same expressions in
+    the same order, so outputs are bit-exact with the gather baseline."""
+    block = seeds.shape[0]
+    sd = jnp.stack([indptr[:-1], indptr[1:] - indptr[:-1]], axis=-1)[seeds]
+    start, deg = sd[..., 0], sd[..., 1]
+
+    if replacement:
+        r0 = jax.random.bits(jax.random.fold_in(key, 0x5eed),
+                             (block, num_walks), dtype=jnp.uint32)
+        offs = (r0 % jnp.maximum(deg[:, None], 1).astype(jnp.uint32)
+                ).astype(jnp.int32)
+        row0 = etab[start[:, None] + offs]
+    else:
+        m = jnp.arange(num_walks, dtype=jnp.int32)
+        offs = m[None, :] % jnp.maximum(deg[:, None], 1)
+        row0 = stab[start[:, None] + offs]
+    live0 = deg[:, None] > 0
+    w0 = jnp.where(live0, row0[..., 0], seeds[:, None])
+    if num_steps == 1:
+        return w0[:, :, None]
+
+    # stuck walkers (deg-0 seed) carry d=0 and stay in place forever; their
+    # st value is an arbitrary in-range edge slot (pick is always 0)
+    st = row0[..., 1]
+    d = jnp.where(live0, row0[..., 2], 0)
+
+    def step(carry, step_key):
+        cur, st, d = carry
+        r = jax.random.bits(step_key, cur.shape, dtype=jnp.uint32)
+        pick = (r % jnp.maximum(d, 1).astype(jnp.uint32)).astype(jnp.int32)
+        rowt = etab[st + pick]
+        live = d > 0
+        nxt = jnp.where(live, rowt[..., 0], cur)
+        st2 = jnp.where(live, rowt[..., 1], st)
+        d2 = jnp.where(live, rowt[..., 2], d)
+        return (nxt, st2, d2), nxt
+
+    step_keys = jax.random.split(key, num_steps - 1)
+    _, rest = jax.lax.scan(step, (w0, st, d), step_keys)
+    walks = jnp.concatenate([w0[:, :, None],
+                             jnp.moveaxis(rest, 0, -1)], axis=-1)
+    return walks
 
 
 def _walk_block(indptr: jax.Array, indices: jax.Array,
@@ -412,13 +490,23 @@ def _build_sets_packed_block(seeds: jax.Array, walks: jax.Array,
 def sample_block(indptr: jax.Array, indices: jax.Array,
                  shuffled_indices: jax.Array, seeds: jax.Array,
                  key: jax.Array, *, num_walks: int, num_steps: int,
-                 bucket: int, replacement: bool = False):
+                 bucket: int, replacement: bool = False,
+                 etab: jax.Array | None = None,
+                 stab: jax.Array | None = None):
     """Jitted per-block pipeline: walks -> sets -> counts -> packed keys.
+
+    Pass `etab`/`stab` (from `build_walk_tables`) to use the
+    one-row-gather-per-step walk; outputs are bit-exact either way.
 
     Returns (nodes [B, bucket], sizes [B], hi [B, bucket], lo [B, bucket]).
     """
-    walks = _walk_block(indptr, indices, shuffled_indices, seeds,
-                        num_walks, num_steps, key, replacement=replacement)
+    if etab is not None:
+        walks = _walk_block_tables(indptr, etab, stab, seeds, num_walks,
+                                   num_steps, key, replacement=replacement)
+    else:
+        walks = _walk_block(indptr, indices, shuffled_indices, seeds,
+                            num_walks, num_steps, key,
+                            replacement=replacement)
     return _build_sets_packed_block(seeds, walks, num_walks, num_steps,
                                     bucket)
 

@@ -150,7 +150,8 @@ def sample_gsets_sharded(graph, seeds: np.ndarray, num_walks: int,
 
     from surel_plus_tpu.ops import walk as walk_ops
     from surel_plus_tpu.ops.sampler import (device_graph,
-                                            shuffled_indices_for)
+                                            shuffled_indices_for,
+                                            walk_tables_for)
     from surel_plus_tpu.spg.spg import SpGKeys
 
     seeds = np.asarray(seeds, dtype=np.int32)
@@ -165,26 +166,31 @@ def sample_gsets_sharded(graph, seeds: np.ndarray, num_walks: int,
 
     indptr, indices = device_graph(graph)
     shuffled = shuffled_indices_for(graph, seed)
+    etab, stab = walk_tables_for(graph, seed)
     axis = tuple(mesh.axis_names)
 
-    def local(indptr, indices, shuffled, seeds_shard, key):
+    def local(indptr, indices, shuffled, tabs, seeds_shard, key):
         shard = jax.lax.axis_index(axis[0])
         k = jax.random.fold_in(key, shard)
+        et, st = tabs if tabs is not None else (None, None)
         return walk_ops.sample_block(
             indptr, indices, shuffled, seeds_shard[0], k,
-            num_walks=num_walks, num_steps=num_steps, bucket=bucket)
+            num_walks=num_walks, num_steps=num_steps, bucket=bucket,
+            etab=et, stab=st)
 
     flat_axis = axis[0]
+    tabs = (etab, stab) if etab is not None else None
     sharded = jax.shard_map(
         local,
         mesh=Mesh(np.asarray(mesh.devices).reshape(-1), (flat_axis,)),
-        in_specs=(P(), P(), P(), P(flat_axis, None), P()),
+        in_specs=(P(), P(), P(), P(), P(flat_axis, None), P()),
         out_specs=(P(flat_axis, None), P(flat_axis),
                    P(flat_axis, None), P(flat_axis, None)),
         check_vma=False,
     )
     nodes, sizes, hi, lo = jax.jit(sharded)(
-        indptr, indices, shuffled, jnp.asarray(seeds_pad).reshape(ndev, per),
+        indptr, indices, shuffled, tabs,
+        jnp.asarray(seeds_pad).reshape(ndev, per),
         jax.random.PRNGKey(seed))
     return SpGKeys(nodes=nodes[:n], khi=hi[:n], klo=lo[:n],
                    sizes=sizes[:n], num_walks=num_walks,

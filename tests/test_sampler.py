@@ -194,3 +194,29 @@ def test_scipy_export_matches_reference_layout(sampled):
     nnz = np.diff(z.indptr)
     np.testing.assert_array_equal(nnz[spg.seeds], spg.sizes)
     assert z.data.min() >= 1
+
+
+def test_edge_table_walk_bit_exact():
+    """The one-row-gather-per-step edge-table walk (walk.py
+    `_walk_block_tables`) must be bit-exact with the two-gather baseline
+    in both step-0 modes (without-replacement default and the SUREL-v1
+    replacement mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from surel_plus_tpu.ops import walk as walk_ops
+    from surel_plus_tpu.ops.sampler import (device_graph,
+                                            shuffled_indices_for)
+
+    g = rmat_graph(800, 4000, seed=11)
+    indptr, indices = device_graph(g)
+    shuffled = shuffled_indices_for(g, 5)
+    etab, stab = walk_ops.build_walk_tables(indptr, indices, shuffled)
+    seeds = jnp.arange(800, dtype=jnp.int32)
+    key = jax.random.PRNGKey(42)
+    for repl in (False, True):
+        base = walk_ops._walk_block(indptr, indices, shuffled, seeds,
+                                    M, S, key, replacement=repl)
+        tab = walk_ops._walk_block_tables(indptr, etab, stab, seeds,
+                                          M, S, key, replacement=repl)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(tab))
