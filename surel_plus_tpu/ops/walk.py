@@ -373,7 +373,8 @@ def unpack_encodings(packed: np.ndarray, num_walks: int,
 
 
 def _build_sets_packed_block(seeds: jax.Array, walks: jax.Array,
-                             num_walks: int, num_steps: int, bucket: int
+                             num_walks: int, num_steps: int, bucket: int,
+                             num_nodes: int | None = None
                              ) -> Tuple[jax.Array, jax.Array, jax.Array,
                                         jax.Array]:
     """Fused set building + key packing, gather-light.
@@ -386,11 +387,19 @@ def _build_sets_packed_block(seeds: jax.Array, walks: jax.Array,
     two-key sort, one slot binary search, two cumsums, O(1) gathers —
     versus the dense-target search's ~bucket*ncol*log(V) gathers.
 
+    Two static specializations (sort cost scales with operand count):
+      * when `num_nodes` is given and (node, vpos) fits 31 bits, the visit
+        sort runs on ONE packed int32 operand instead of key+payload;
+      * when the field layout fits the lo word (lead_bit < 32 — true for
+        every published config, e.g. M=100 S'=3 -> 22 bits), the hi-word
+        cumsum/sort-payload/boundary plumbing is dropped entirely.
+
     Returns (nodes [B, bucket], sizes [B], hi [B, bucket], lo [B, bucket]).
     """
     block = seeds.shape[0]
     visits = 1 + num_walks * num_steps
     shift, starts, lead_bit = enc_field_layout(num_walks, num_steps)
+    use_hi = lead_bit >= 32
 
     nodes = jnp.concatenate(
         [seeds[:, None], walks.reshape(block, num_walks * num_steps)],
@@ -398,17 +407,28 @@ def _build_sets_packed_block(seeds: jax.Array, walks: jax.Array,
     # sort visits by node id carrying only the visit position; the walk
     # column (and its packed field contribution) is derived from the
     # position arithmetically — one payload operand instead of three
-    # (sort cost scales with operand count)
-    vpos0 = jnp.broadcast_to(
-        jnp.arange(visits, dtype=jnp.int32)[None, :], (block, visits))
-    snodes, svpos = jax.lax.sort((nodes, vpos0), dimension=1, num_keys=1)
+    vbits = max((visits - 1).bit_length(), 1)
+    if num_nodes is not None and num_nodes <= (1 << (31 - vbits)):
+        # (node, vpos) packed into one int32: the stable key-sort by node
+        # with ascending-iota payload orders ties by vpos, so sorting the
+        # packed key is order-identical — and needs no payload operand.
+        vpos0 = jnp.arange(visits, dtype=jnp.int32)
+        packed = (nodes << vbits) | vpos0[None, :]
+        spacked = jax.lax.sort(packed, dimension=1)
+        snodes = spacked >> vbits
+        svpos = spacked & ((1 << vbits) - 1)
+    else:
+        vpos0 = jnp.broadcast_to(
+            jnp.arange(visits, dtype=jnp.int32)[None, :], (block, visits))
+        snodes, svpos = jax.lax.sort((nodes, vpos0), dimension=1,
+                                     num_keys=1)
 
     # visit layout: position 0 is the root (col 0); positions 1.. are the
     # flattened [num_walks, num_steps] walk matrix -> col = (p-1) % S + 1
     scols = jnp.where(svpos == 0, 0,
                       (svpos - 1) % num_steps + 1).astype(jnp.int32)
     s_lo = jnp.zeros((block, visits), jnp.uint32)
-    s_hi = jnp.zeros((block, visits), jnp.uint32)
+    s_hi = jnp.zeros((block, visits), jnp.uint32) if use_hi else None
     for j in range(1, num_steps + 1):
         sel = scols == j
         if starts[j] < 32:
@@ -428,9 +448,10 @@ def _build_sets_packed_block(seeds: jax.Array, walks: jax.Array,
     # exact per segment, see above): the sum over slot s's segment equals
     # P[start(s+1)] - P[start(s)].
     pre_lo = jnp.cumsum(s_lo, axis=1, dtype=jnp.uint32)
-    pre_hi = jnp.cumsum(s_hi, axis=1, dtype=jnp.uint32)
     excl_lo = pre_lo - s_lo
-    excl_hi = pre_hi - s_hi
+    if use_hi:
+        pre_hi = jnp.cumsum(s_hi, axis=1, dtype=jnp.uint32)
+        excl_hi = pre_hi - s_hi
 
     # One compaction sort moves segment-start entries to the front in node
     # order, carrying each start's exclusive prefix: adjacent differences
@@ -438,28 +459,32 @@ def _build_sets_packed_block(seeds: jax.Array, walks: jax.Array,
     # boundary-position gathers at all (take_along_axis runs near one
     # element per cycle on TPU).
     key2 = jnp.where(first, snodes, INT32_MAX)
-    k2, p_lo, p_hi = jax.lax.sort((key2, excl_lo, excl_hi), num_keys=1)
+    if use_hi:
+        k2, p_lo, p_hi = jax.lax.sort((key2, excl_lo, excl_hi), num_keys=1)
+    else:
+        k2, p_lo = jax.lax.sort((key2, excl_lo), num_keys=1)
     if visits < bucket:
         padw = bucket - visits
         k2 = jnp.concatenate(
             [k2, jnp.full((block, padw), INT32_MAX, jnp.int32)], axis=1)
         p_lo = jnp.concatenate(
             [p_lo, jnp.zeros((block, padw), jnp.uint32)], axis=1)
-        p_hi = jnp.concatenate(
-            [p_hi, jnp.zeros((block, padw), jnp.uint32)], axis=1)
+        if use_hi:
+            p_hi = jnp.concatenate(
+                [p_hi, jnp.zeros((block, padw), jnp.uint32)], axis=1)
     # next-start prefixes taken BEFORE truncation: when n_uniq > bucket the
     # last kept slot's segment must end at the first dropped segment's
     # start (overflow counts are dropped, matching the C kernel's behavior
     # subg_acc.c:826-836), not at the visit total.
     if p_lo.shape[1] > bucket:
         next_lo = p_lo[:, 1:bucket + 1]
-        next_hi = p_hi[:, 1:bucket + 1]
+        next_hi = p_hi[:, 1:bucket + 1] if use_hi else None
     else:
         next_lo = jnp.concatenate([p_lo[:, 1:], pre_lo[:, -1:]], axis=1)
-        next_hi = jnp.concatenate([p_hi[:, 1:], pre_hi[:, -1:]], axis=1)
+        next_hi = jnp.concatenate(
+            [p_hi[:, 1:], pre_hi[:, -1:]], axis=1) if use_hi else None
     nodes_out = k2[:, :bucket]
     p_lo = p_lo[:, :bucket]
-    p_hi = p_hi[:, :bucket]
 
     slots = jnp.arange(bucket, dtype=jnp.int32)
     valid = slots[None, :] < sizes[:, None]
@@ -470,17 +495,21 @@ def _build_sets_packed_block(seeds: jax.Array, walks: jax.Array,
     is_last_untrunc = (slots[None, :] == sizes[:, None] - 1) \
         & (n_uniq <= bucket)[:, None]
     next_lo = jnp.where(is_last_untrunc, pre_lo[:, -1:], next_lo)
-    next_hi = jnp.where(is_last_untrunc, pre_hi[:, -1:], next_hi)
     lo_keys = jnp.where(valid, next_lo - p_lo, 0)
-    hi_keys = jnp.where(valid, next_hi - p_hi, 0)
 
     is_root = (nodes_out == seeds[:, None]).astype(jnp.uint32)
+    if use_hi:
+        p_hi = p_hi[:, :bucket]
+        next_hi = jnp.where(is_last_untrunc, pre_hi[:, -1:], next_hi)
+        hi_keys = jnp.where(valid, next_hi - p_hi, 0)
+        if lead_bit >= 32:
+            hi_keys = hi_keys | (is_root << (lead_bit - 32))
+        hi_keys = jnp.where(valid, hi_keys, 0)
+    else:
+        hi_keys = jnp.zeros((block, bucket), jnp.uint32)
     if lead_bit < 32:
         lo_keys = lo_keys | (is_root << lead_bit)
-    else:
-        hi_keys = hi_keys | (is_root << (lead_bit - 32))
     lo_keys = jnp.where(valid, lo_keys, 0)
-    hi_keys = jnp.where(valid, hi_keys, 0)
     return nodes_out, sizes, hi_keys, lo_keys
 
 
@@ -508,7 +537,8 @@ def sample_block(indptr: jax.Array, indices: jax.Array,
                             num_walks, num_steps, key,
                             replacement=replacement)
     return _build_sets_packed_block(seeds, walks, num_walks, num_steps,
-                                    bucket)
+                                    bucket,
+                                    num_nodes=indptr.shape[0] - 1)
 
 
 @functools.partial(

@@ -333,7 +333,8 @@ def sample_gsets_partitioned(
             _, rest = jax.lax.scan(body, cur, step_keys)
             walks += [rest[i] for i in range(S - 1)]
         wmat = jnp.stack(walks, axis=-1)            # [per, M, S]
-        return walk_ops._build_sets_packed_block(sd, wmat, M, S, bucket)
+        return walk_ops._build_sets_packed_block(
+            sd, wmat, M, S, bucket, num_nodes=rps * G)
 
     sharded = jax.shard_map(
         local, mesh=flat_mesh,
@@ -433,7 +434,8 @@ def sample_gsets_grouped(
             _, rest = jax.lax.scan(body, cur, step_keys)
             walks += [rest[i] for i in range(S - 1)]
         wmat = jnp.stack(walks, axis=-1)
-        return walk_ops._build_sets_packed_block(sd, wmat, M, S, bucket)
+        return walk_ops._build_sets_packed_block(
+            sd, wmat, M, S, bucket, num_nodes=rps * group_size)
 
     sharded = jax.shard_map(
         local, mesh=gmesh,

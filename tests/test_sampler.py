@@ -220,3 +220,44 @@ def test_edge_table_walk_bit_exact():
         tab = walk_ops._walk_block_tables(indptr, etab, stab, seeds,
                                           M, S, key, replacement=repl)
         np.testing.assert_array_equal(np.asarray(base), np.asarray(tab))
+
+
+@pytest.mark.parametrize("mw,ms", [(16, 3),    # lo-only layout (lead 15)
+                                   (200, 4)])  # hi-word layout (lead 32)
+def test_packed_builder_matches_dense(mw, ms):
+    """`_build_sets_packed_block` (prefix-carried, hi-word-skip + packed
+    single-operand sort specializations) must equal the dense
+    `_build_sets_block` + `_pack_block` reference path, for both the
+    lo-only and the hi-word field layouts, with and without the
+    (node,vpos) int32 packing (num_nodes=None disables it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from surel_plus_tpu.ops import walk as walk_ops
+    from surel_plus_tpu.ops.sampler import (device_graph,
+                                            shuffled_indices_for)
+
+    g = rmat_graph(400, 2400, seed=2)
+    indptr, indices = device_graph(g)
+    shuffled = shuffled_indices_for(g, 9)
+    seeds = jnp.arange(128, dtype=jnp.int32)
+    key = jax.random.PRNGKey(3)
+    walks = walk_ops._walk_block(indptr, indices, shuffled, seeds,
+                                 mw, ms, key)
+    bucket = mw * ms + 1
+    d_nodes, d_counts, d_sizes = walk_ops._build_sets_block(
+        seeds, walks, mw, ms, bucket)
+    d_hi, d_lo = walk_ops._pack_block(d_counts, d_nodes, seeds, mw, ms)
+    slots = np.arange(bucket, dtype=np.int32)
+    dvalid = slots[None, :] < np.asarray(d_sizes)[:, None]
+    for num_nodes in (None, 400):
+        p_nodes, p_sizes, p_hi, p_lo = walk_ops._build_sets_packed_block(
+            seeds, walks, mw, ms, bucket, num_nodes=num_nodes)
+        np.testing.assert_array_equal(np.asarray(d_sizes),
+                                      np.asarray(p_sizes))
+        np.testing.assert_array_equal(np.asarray(d_nodes),
+                                      np.asarray(p_nodes))
+        np.testing.assert_array_equal(
+            np.where(dvalid, np.asarray(d_hi), 0), np.asarray(p_hi))
+        np.testing.assert_array_equal(
+            np.where(dvalid, np.asarray(d_lo), 0), np.asarray(p_lo))
