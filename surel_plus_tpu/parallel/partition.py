@@ -91,6 +91,13 @@ class PartitionedCSR:
     indices:  int32 [G, Emax]  — global neighbor ids, zero-padded.
     shuffled: int32 [G, Emax]  — per-row random permutation of indices
               (the step-0 without-replacement source), same padding.
+    etab/stab: int32 [G, Emax, 3] optional edge tables for the
+              one-row-gather-per-step frontier exchange: row j of shard g
+              is (nbr, nbr_edge_base, nbr_deg) for nbr = indices[g, j]
+              (resp. shuffled[g, j]), where nbr_edge_base is the offset of
+              nbr's adjacency inside ITS OWNER's local edge arrays. Costs
+              3x edge memory per word kept; `partition_csr(...,
+              edge_tables=False)` drops them for memory-bound graphs.
     """
 
     indptr: np.ndarray
@@ -99,19 +106,26 @@ class PartitionedCSR:
     rows_per_shard: int
     num_nodes: int
     num_shards: int
+    etab: Optional[np.ndarray] = None
+    stab: Optional[np.ndarray] = None
 
     @property
     def num_edges(self) -> int:
         return int(self.indptr[:, -1].sum())
 
 
-def partition_csr(graph: CSRGraph, n_shards: int,
-                  seed: int = 111413) -> PartitionedCSR:
+def partition_csr(graph: CSRGraph, n_shards: int, seed: int = 111413,
+                  edge_tables: bool = True) -> PartitionedCSR:
     """Split a CSR graph into `n_shards` contiguous row ranges.
 
     The per-row shuffle matches `shuffled_indices_for` (same native
     kernel / numpy fallback and the same seed convention), so partitioned
-    walks reproduce single-device walks exactly."""
+    walks reproduce single-device walks exactly.
+
+    With `edge_tables` (default), also builds the [G, Emax, 3]
+    (nbr, nbr_edge_base, nbr_deg) tables that let the frontier exchange
+    answer each request with a single row gather (see
+    `_probe_step_rows`)."""
     from surel_plus_tpu.ops.sampler import shuffled_indices_for
 
     N = graph.num_nodes
@@ -126,18 +140,36 @@ def partition_csr(graph: CSRGraph, n_shards: int,
     indptr = np.zeros((n_shards, rps + 1), np.int32)
     indices = np.zeros((n_shards, emax), np.int32)
     shuffled = np.zeros((n_shards, emax), np.int32)
+    gptr = graph.indptr.astype(np.int64)
+    if edge_tables:
+        # per-node (edge base inside the owner's shard, degree), host-side
+        shard_base = gptr[np.minimum(
+            np.arange(n_shards, dtype=np.int64) * rps, N)]
+        node_owner = np.arange(N, dtype=np.int64) // rps
+        node_ebase = (gptr[:-1] - shard_base[node_owner]).astype(np.int32)
+        node_deg = (gptr[1:] - gptr[:-1]).astype(np.int32)
+        etab = np.zeros((n_shards, emax, 3), np.int32)
+        stab = np.zeros((n_shards, emax, 3), np.int32)
+    else:
+        etab = stab = None
     for g in range(n_shards):
         a, b = g * rps, min((g + 1) * rps, N)
         base = int(graph.indptr[a])
         nnz = int(graph.indptr[b]) - base
-        local = graph.indptr[a:b + 1].astype(np.int64) - base
+        local = gptr[a:b + 1] - base
         indptr[g, :b - a + 1] = local
         indptr[g, b - a + 1:] = local[-1]  # padded rows: degree 0
         indices[g, :nnz] = graph.indices[base:base + nnz]
         shuffled[g, :nnz] = shuffled_global[base:base + nnz]
+        if edge_tables:
+            for tab, col in ((etab, indices[g, :nnz]),
+                             (stab, shuffled[g, :nnz])):
+                tab[g, :nnz, 0] = col
+                tab[g, :nnz, 1] = node_ebase[col]
+                tab[g, :nnz, 2] = node_deg[col]
     return PartitionedCSR(indptr=indptr, indices=indices, shuffled=shuffled,
                           rows_per_shard=rps, num_nodes=N,
-                          num_shards=n_shards)
+                          num_shards=n_shards, etab=etab, stab=stab)
 
 
 def _probe_step(lindptr, table, nodes, aux, shard, rps, axis):
@@ -255,6 +287,170 @@ def _route_step(lindptr, table, nodes, aux, shard, rps, axis, G_int,
     return jax.lax.cond(overflow, probe_path, capacity_path, operand=None)
 
 
+def _seed_info_probe(lindptr, sd, shard, rps, axis):
+    """One [B]-shaped exchange fetching each seed's (edge_base, degree)
+    from its owner — the entry state for the edge-table walk."""
+    all_sd = jax.lax.all_gather(sd, axis)               # [G, B]
+    lid = all_sd - shard * rps
+    owned = (lid >= 0) & (lid < rps)
+    safe = jnp.clip(lid, 0, rps - 1)
+    start = lindptr[safe]
+    deg = lindptr[safe + 1] - start
+    vals = jnp.stack([start, deg], axis=-1)             # [G, B, 2]
+    vals = jnp.where(owned[..., None], vals, 0)
+    routed = jax.lax.all_to_all(vals, axis, split_axis=0, concat_axis=0,
+                                tiled=False)
+    out = routed.sum(axis=0)                            # [B, 2]
+    return out[..., 0], out[..., 1]
+
+
+def _probe_step_rows(table3, owner, eidx, shard, axis):
+    """Owner-computed edge-table lookup for a frontier of walkers.
+
+    owner/eidx: [B, M] request (owning shard, edge index into that
+    shard's [Emax, 3] table). The owner answers with the full
+    (nbr, nbr_edge_base, nbr_deg) row — ONE row gather per request,
+    against the three per-element gathers of the bare-pick `_probe_step`
+    (the same ~2.5x lever as the single-device edge-table walk,
+    ops/walk.py:_walk_block_tables)."""
+    all_owner = jax.lax.all_gather(owner, axis)         # [G, B, M]
+    all_eidx = jax.lax.all_gather(eidx, axis)
+    owned = all_owner == shard
+    safe = jnp.clip(all_eidx, 0, table3.shape[0] - 1)
+    rows = table3[safe]                                 # [G, B, M, 3]
+    rows = jnp.where(owned[..., None], rows, 0)
+    routed = jax.lax.all_to_all(rows, axis, split_axis=0, concat_axis=0,
+                                tiled=False)
+    return routed.sum(axis=0)                           # [B, M, 3]
+
+
+def _route_step_rows(table3, owner, eidx, shard, axis, G_int,
+                     capacity_slack: float = 1.25):
+    """Capacity-routed variant of `_probe_step_rows`: requests travel
+    only to their owner ([G, C] buffers, one all_to_all each way), the
+    answer is the [3]-row; falls back to the probe for the whole step on
+    (binomially negligible) capacity overflow, decided mesh-uniformly."""
+    B, M = owner.shape
+    R = B * M
+    cap = int(np.ceil(capacity_slack * R / G_int))
+
+    col = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+    sdest, seidx, scol = jax.lax.sort(
+        (owner, eidx, col), dimension=1, num_keys=1)
+
+    targets = jnp.broadcast_to(
+        jnp.arange(G_int + 1, dtype=jnp.int32)[None, :], (B, G_int + 1))
+    bounds = walk_ops.rows_searchsorted(sdest, targets)  # [B, G+1]
+    cnt = bounds[:, 1:] - bounds[:, :-1]
+    row_pref = jnp.cumsum(cnt, axis=0) - cnt
+    t_total = cnt.sum(axis=0)
+
+    span_start = jnp.take_along_axis(bounds, sdest, axis=1)
+    rpref = jnp.take_along_axis(row_pref, sdest, axis=1)
+    pos_in_row = jnp.broadcast_to(
+        jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+    rank = rpref + (pos_in_row - span_start)
+    slot = sdest * cap + rank
+    ok = rank < cap
+
+    def capacity_path(_):
+        send = jnp.zeros((G_int * cap,), jnp.int32)
+        safe_slot = jnp.where(ok, slot, G_int * cap).reshape(-1)
+        send = send.at[safe_slot].set(seidx.reshape(-1), mode="drop")
+        rq = jax.lax.all_to_all(send.reshape(G_int, cap), axis,
+                                split_axis=0, concat_axis=0, tiled=False)
+        rows = table3[jnp.clip(rq, 0, table3.shape[0] - 1)]   # [G, C, 3]
+        back = jax.lax.all_to_all(rows, axis, split_axis=0, concat_axis=0,
+                                  tiled=False)
+        got = back.reshape(-1, 3)[jnp.where(ok, slot, 0).reshape(-1)]
+        got = got.reshape(B, M, 3)
+        _, n_, e_, d_ = jax.lax.sort(
+            (scol, got[..., 0], got[..., 1], got[..., 2]),
+            dimension=1, num_keys=1)
+        return jnp.stack([n_, e_, d_], axis=-1)
+
+    def probe_path(_):
+        return _probe_step_rows(table3, owner, eidx, shard, axis)
+
+    overflow = jnp.any(t_total > cap)
+    overflow = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
+    return jax.lax.cond(overflow, probe_path, capacity_path, operand=None)
+
+
+def _walk_bare_exchange(lindptr, lindices, lshuffled, sd, key, shard,
+                        step_fn, M, S, per, n_pad, slice_idx=None):
+    """Frontier-exchange walk answering bare neighbor picks (the original
+    transport: three per-element owner gathers per request)."""
+    # ---- step 0: m-th shuffled neighbor (without replacement,
+    # ops/walk.py:_walk_block's shuffled-indices semantics) ----
+    m = jnp.broadcast_to(
+        jnp.arange(M, dtype=jnp.int32)[None, :], (per, M))
+    cur = step_fn(lindptr, lshuffled,
+                  jnp.broadcast_to(sd[:, None], (per, M)),
+                  m.astype(jnp.uint32), shard)
+    walks = [cur]
+
+    # ---- steps 1..S-1: uniform with replacement; bits generated at
+    # the GLOBAL block shape and sliced so every shard count yields
+    # the same walks (reproducibility across meshes) ----
+    if S > 1:
+        step_keys = jax.random.split(key, S - 1)
+
+        def body(cur, step_key):
+            r_full = jax.random.bits(step_key, (n_pad, M),
+                                     dtype=jnp.uint32)
+            r = jax.lax.dynamic_slice_in_dim(
+                r_full, (shard if slice_idx is None else slice_idx) * per,
+                per, axis=0)
+            nxt = step_fn(lindptr, lindices, cur, r, shard)
+            return nxt, nxt
+
+        _, rest = jax.lax.scan(body, cur, step_keys)
+        walks += [rest[i] for i in range(S - 1)]
+    return jnp.stack(walks, axis=-1)                # [per, M, S]
+
+
+def _walk_tables_exchange(lindptr, letab, lstab, sd, key, shard, rows_fn,
+                          rps, axis, M, S, per, n_pad, slice_idx=None):
+    """Frontier-exchange walk over the [Emax, 3] edge tables: walkers
+    carry (cur, edge_base, deg), picks are computed requester-side, and
+    the owner answers each request with ONE row gather (the partitioned
+    mirror of ops/walk.py:_walk_block_tables — bit-exact with it and
+    with the bare exchange)."""
+    sstart, sdeg = _seed_info_probe(lindptr, sd, shard, rps, axis)
+    m = jnp.arange(M, dtype=jnp.int32)
+    offs = m[None, :] % jnp.maximum(sdeg[:, None], 1)
+    owner0 = jnp.broadcast_to((sd // rps)[:, None], (per, M))
+    rows0 = rows_fn(lstab, owner0, sstart[:, None] + offs, shard)
+    live0 = sdeg[:, None] > 0
+    cur = jnp.where(live0, rows0[..., 0], sd[:, None])
+    walks = [cur]
+    if S > 1:
+        ebase = rows0[..., 1]
+        deg = jnp.where(live0, rows0[..., 2], 0)
+        step_keys = jax.random.split(key, S - 1)
+
+        def body(carry, step_key):
+            cur, ebase, deg = carry
+            r_full = jax.random.bits(step_key, (n_pad, M),
+                                     dtype=jnp.uint32)
+            r = jax.lax.dynamic_slice_in_dim(
+                r_full, (shard if slice_idx is None else slice_idx) * per,
+                per, axis=0)
+            pick = (r % jnp.maximum(deg, 1).astype(jnp.uint32)
+                    ).astype(jnp.int32)
+            rows = rows_fn(letab, cur // rps, ebase + pick, shard)
+            live = deg > 0
+            nxt = jnp.where(live, rows[..., 0], cur)
+            eb2 = jnp.where(live, rows[..., 1], ebase)
+            dg2 = jnp.where(live, rows[..., 2], deg)
+            return (nxt, eb2, dg2), nxt
+
+        _, rest = jax.lax.scan(body, (cur, ebase, deg), step_keys)
+        walks += [rest[i] for i in range(S - 1)]
+    return jnp.stack(walks, axis=-1)                # [per, M, S]
+
+
 def sample_gsets_partitioned(
     pcsr: PartitionedCSR,
     seeds: np.ndarray,
@@ -292,59 +488,49 @@ def sample_gsets_partitioned(
     M, S = num_walks, num_steps
     axis = "shard"
     flat_mesh = Mesh(np.asarray(mesh.devices).reshape(-1), (axis,))
+    use_tables = pcsr.etab is not None
 
     if routing == "capacity":
         def step_fn(lp, tb, nd, au, sh):
             return _route_step(lp, tb, nd, au, sh, rps, axis, G)
+
+        def rows_fn(tb, ow, ei, sh):
+            return _route_step_rows(tb, ow, ei, sh, axis, G)
     else:
         def step_fn(lp, tb, nd, au, sh):
             return _probe_step(lp, tb, nd, au, sh, rps, axis)
 
-    def local(lindptr, lindices, lshuffled, seeds_shard, key):
+        def rows_fn(tb, ow, ei, sh):
+            return _probe_step_rows(tb, ow, ei, sh, axis)
+
+    def local(lindptr, lindices, lshuffled, letab, lstab, seeds_shard,
+              key):
         shard = jax.lax.axis_index(axis)
         lindptr = lindptr[0]
-        lindices = lindices[0]
-        lshuffled = lshuffled[0]
         sd = seeds_shard[0]                         # [per]
 
-        # ---- step 0: m-th shuffled neighbor (without replacement,
-        # ops/walk.py:_walk_block's shuffled-indices semantics) ----
-        m = jnp.broadcast_to(
-            jnp.arange(M, dtype=jnp.int32)[None, :], (per, M))
-        cur = step_fn(lindptr, lshuffled,
-                      jnp.broadcast_to(sd[:, None], (per, M)),
-                      m.astype(jnp.uint32), shard)
-        walks = [cur]
-
-        # ---- steps 1..S-1: uniform with replacement; bits generated at
-        # the GLOBAL block shape and sliced so every shard count yields
-        # the same walks (reproducibility across meshes) ----
-        if S > 1:
-            step_keys = jax.random.split(key, S - 1)
-
-            def body(cur, step_key):
-                r_full = jax.random.bits(step_key, (n_pad, M),
-                                         dtype=jnp.uint32)
-                r = jax.lax.dynamic_slice_in_dim(r_full, shard * per, per,
-                                                 axis=0)
-                nxt = step_fn(lindptr, lindices, cur, r, shard)
-                return nxt, nxt
-
-            _, rest = jax.lax.scan(body, cur, step_keys)
-            walks += [rest[i] for i in range(S - 1)]
-        wmat = jnp.stack(walks, axis=-1)            # [per, M, S]
+        if use_tables:
+            wmat = _walk_tables_exchange(
+                lindptr, letab[0], lstab[0], sd, key, shard, rows_fn,
+                rps, axis, M, S, per, n_pad)
+        else:
+            wmat = _walk_bare_exchange(
+                lindptr, lindices[0], lshuffled[0], sd, key, shard,
+                step_fn, M, S, per, n_pad)
         return walk_ops._build_sets_packed_block(
             sd, wmat, M, S, bucket, num_nodes=rps * G)
 
     sharded = jax.shard_map(
         local, mesh=flat_mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis, None),
-                  P(axis, None), P()),
+                  P(axis, None), P(axis, None), P(axis, None), P()),
         out_specs=(P(axis, None), P(axis), P(axis, None), P(axis, None)),
         check_vma=False,
     )
     nodes, sizes, hi, lo = jax.jit(sharded)(
         pcsr.indptr, pcsr.indices, pcsr.shuffled,
+        pcsr.etab if use_tables else pcsr.indptr,
+        pcsr.stab if use_tables else pcsr.indptr,
         seeds_pad.reshape(G, per), jax.random.PRNGKey(seed))
     if n_pad > n and jax.process_count() == 1:
         # trim seed padding (multi-process callers pass divisible counts:
@@ -395,51 +581,47 @@ def sample_gsets_grouped(
     gmesh = Mesh(np.asarray(mesh.devices).reshape(n_groups, group_size),
                  ("group", "shard"))
 
+    use_tables = pcsr.etab is not None
+
     if routing == "capacity":
         def gstep_fn(lp, tb, nd, au, sh):
             return _route_step(lp, tb, nd, au, sh, rps, "shard",
                                group_size)
+
+        def grows_fn(tb, ow, ei, sh):
+            return _route_step_rows(tb, ow, ei, sh, "shard", group_size)
     else:
         def gstep_fn(lp, tb, nd, au, sh):
             return _probe_step(lp, tb, nd, au, sh, rps, "shard")
 
+        def grows_fn(tb, ow, ei, sh):
+            return _probe_step_rows(tb, ow, ei, sh, "shard")
+
     # the per-shard CSR is REPLICATED across groups, partitioned within:
     # every group's shard s holds the same rows
-    def local(lindptr, lindices, lshuffled, seeds_shard, key):
+    def local(lindptr, lindices, lshuffled, letab, lstab, seeds_shard,
+              key):
         shard = jax.lax.axis_index("shard")
         group = jax.lax.axis_index("group")
         lindptr = lindptr[0]
-        lindices = lindices[0]
-        lshuffled = lshuffled[0]
         sd = seeds_shard[0, 0]                       # [per]
+        flat_idx = group * group_size + shard
 
-        m = jnp.broadcast_to(
-            jnp.arange(M, dtype=jnp.int32)[None, :], (per, M))
-        cur = gstep_fn(lindptr, lshuffled,
-                       jnp.broadcast_to(sd[:, None], (per, M)),
-                       m.astype(jnp.uint32), shard)
-        walks = [cur]
-        if S > 1:
-            step_keys = jax.random.split(key, S - 1)
-            flat_idx = group * group_size + shard
-
-            def body(cur, step_key):
-                r_full = jax.random.bits(step_key, (n_pad, M),
-                                         dtype=jnp.uint32)
-                r = jax.lax.dynamic_slice_in_dim(
-                    r_full, flat_idx * per, per, axis=0)
-                nxt = gstep_fn(lindptr, lindices, cur, r, shard)
-                return nxt, nxt
-
-            _, rest = jax.lax.scan(body, cur, step_keys)
-            walks += [rest[i] for i in range(S - 1)]
-        wmat = jnp.stack(walks, axis=-1)
+        if use_tables:
+            wmat = _walk_tables_exchange(
+                lindptr, letab[0], lstab[0], sd, key, shard, grows_fn,
+                rps, "shard", M, S, per, n_pad, slice_idx=flat_idx)
+        else:
+            wmat = _walk_bare_exchange(
+                lindptr, lindices[0], lshuffled[0], sd, key, shard,
+                gstep_fn, M, S, per, n_pad, slice_idx=flat_idx)
         return walk_ops._build_sets_packed_block(
             sd, wmat, M, S, bucket, num_nodes=rps * group_size)
 
     sharded = jax.shard_map(
         local, mesh=gmesh,
         in_specs=(P("shard", None), P("shard", None), P("shard", None),
+                  P("shard", None), P("shard", None),
                   P("group", "shard", None), P()),
         out_specs=(P(("group", "shard"), None), P(("group", "shard")),
                    P(("group", "shard"), None), P(("group", "shard"), None)),
@@ -447,6 +629,8 @@ def sample_gsets_grouped(
     )
     nodes, sizes, hi, lo = jax.jit(sharded)(
         pcsr.indptr, pcsr.indices, pcsr.shuffled,
+        pcsr.etab if use_tables else pcsr.indptr,
+        pcsr.stab if use_tables else pcsr.indptr,
         seeds_pad.reshape(n_groups, group_size, per),
         jax.random.PRNGKey(seed))
     if n_pad > n and jax.process_count() == 1:

@@ -153,3 +153,20 @@ def test_capacity_routing_matches_probe(setup):
     np.testing.assert_array_equal(np.asarray(spgk.nodes), nodes1)
     np.testing.assert_array_equal(np.asarray(spgk.khi), hi1)
     np.testing.assert_array_equal(np.asarray(spgk.klo), lo1)
+
+def test_bare_exchange_matches_single_device(setup):
+    """The bare-pick exchange (edge_tables=False: three per-element owner
+    gathers per request, the memory-lean transport) stays bit-exact too."""
+    g, seeds = setup
+    mesh = make_mesh()
+    ndev = len(jax.devices())
+    pcsr = partition_csr(g, ndev, seed=SEED, edge_tables=False)
+    assert pcsr.etab is None
+    nodes1, sizes1, hi1, lo1 = _single_device(g, seeds, SEED)
+    for routing in ("probe", "capacity"):
+        spgk = sample_gsets_partitioned(pcsr, seeds, M, S, mesh,
+                                        seed=SEED, routing=routing)
+        np.testing.assert_array_equal(np.asarray(spgk.sizes), sizes1)
+        np.testing.assert_array_equal(np.asarray(spgk.nodes), nodes1)
+        np.testing.assert_array_equal(np.asarray(spgk.khi), hi1)
+        np.testing.assert_array_equal(np.asarray(spgk.klo), lo1)
