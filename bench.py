@@ -94,9 +94,14 @@ def main():
         f"-> {num_nodes/dt_sample:,.0f} sets/s incl-compile")
     t0 = time.time()
     with metrics.phase("sampling_warm", items=num_nodes):
+        # fresh walk PRNG, resident shuffle/edge-tables (shuffle_seed=0
+        # cached from the cold call): the steady-state sampling rate with
+        # the graph resident — the C reference's benchmark condition too
+        # (its graph + RNG state live across calls). A NEW shuffle costs
+        # one host pass + an 8*E-byte upload, once per run in training.
         spgk = sample_gsets_device_keys(g, seeds, num_walks=num_walks,
                                         num_steps=num_steps, seed=1,
-                                        block_size=block)
+                                        shuffle_seed=0, block_size=block)
         _ = int(spgk.sizes.max())
     dt_sample = time.time() - t0
     sets_per_s = num_nodes / dt_sample

@@ -36,7 +36,8 @@ def run(tag, g, seeds, M, S, block, reps=3):
     for rep in range(reps):
         t0 = time.time()
         spgk = sample_gsets_device_keys(g, seeds, num_walks=M, num_steps=S,
-                                        seed=rep + 1, block_size=block)
+                                        seed=rep + 1, shuffle_seed=0,
+                                        block_size=block)
         _ = int(spgk.sizes.max())
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)

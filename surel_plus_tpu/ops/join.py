@@ -97,35 +97,41 @@ def _cross_lookup(nodes_a: jax.Array, nodes_b: jax.Array,
     return _cross_lookup_multi(nodes_a, nodes_b, eidx_b)[0]
 
 
-def _cross_lookup_bidir(nodes_u, nodes_v, hu, lu, hv, lv):
-    """BOTH cross directions from ONE merge sort.
+def _cross_lookup_bidir_multi(nodes_u, nodes_v, pays_u, pays_v):
+    """BOTH cross directions from ONE merge sort, N payloads per side.
 
     The two `_cross_lookup_multi` calls of a join sort the same node
     union twice; fused, each u slot reads its matching v payload from the
     LEFT neighbor (v copies sort before u copies of the same node) and
-    each v slot reads its matching u payload from the RIGHT neighbor —
-    one 6-operand sort + one 5-operand unsort instead of 2 x (4 + 3),
-    ~21% fewer sorted elements and half the sort launches (measured
-    on-TPU train step win, see BENCH notes).
+    each v slot reads its matching u payload from the RIGHT neighbor.
 
-    Returns (cu_hi, cu_lo, cv_hi, cv_lo): for each slot of nodes_u the
-    (hi, lo) payload of that node in nodes_v (0 if absent), and vice
-    versa. Rows ascending, unique, INT32_MAX padded.
+    The un-sort needs NO carried position operand: the original
+    [v block ascending | u block ascending] layout is exactly (tag, node)
+    order, which is recomputed from the sorted key itself — so with one
+    payload per side the merge is a 3-operand sort + 3-operand unsort
+    (the packed-key SpG with a lo-only field layout, i.e. every published
+    config) versus the 6 + 5 of the carried-position two-payload form.
+
+    Returns (cross_u, cross_v): tuples where cross_u[i][b, l] is
+    pays_v[i]'s value for nodes_u[b, l] in nodes_v (0 if absent), and
+    symmetrically. Rows ascending, unique, INT32_MAX padded.
     """
     B, L = nodes_u.shape
-    zeros_u32 = jnp.zeros((B, L), jnp.uint32)
+    assert len(pays_u) == len(pays_v)
+    zeros = [jnp.zeros((B, L), p.dtype) for p in pays_u]
     vals = jnp.concatenate([nodes_v, nodes_u], axis=1)       # [B, 2L]
-    tag = jnp.concatenate([zeros_u32, jnp.ones((B, L), jnp.uint32)],
-                          axis=1)
+    tag = jnp.concatenate([
+        jnp.zeros((B, L), jnp.uint32), jnp.ones((B, L), jnp.uint32)],
+        axis=1)
     packed = (vals.astype(jnp.uint32) << 1) | tag
-    pos = jnp.broadcast_to(jnp.arange(2 * L, dtype=jnp.int32)[None, :],
-                           (B, 2 * L))
-    pu_h = jnp.concatenate([zeros_u32, hu], axis=1)
-    pu_l = jnp.concatenate([zeros_u32, lu], axis=1)
-    pv_h = jnp.concatenate([hv, zeros_u32], axis=1)
-    pv_l = jnp.concatenate([lv, zeros_u32], axis=1)
-    spk, sp, su_h, su_l, sv_h, sv_l = jax.lax.sort(
-        (packed, pos, pu_h, pu_l, pv_h, pv_l), num_keys=1)
+    mu = [jnp.concatenate([z, p], axis=1)
+          for p, z in zip(pays_u, zeros)]
+    mv = [jnp.concatenate([p, z], axis=1)
+          for p, z in zip(pays_v, zeros)]
+    sorted_ops = jax.lax.sort((packed, *mu, *mv), num_keys=1)
+    spk = sorted_ops[0]
+    su = sorted_ops[1:1 + len(mu)]
+    sv = sorted_ops[1 + len(mu):]
     snode = (spk >> 1).astype(jnp.int32)
     st = spk & 1
     # u slot (tag 1) matches when its left neighbor is the v copy
@@ -134,20 +140,29 @@ def _cross_lookup_bidir(nodes_u, nodes_v, hu, lu, hv, lv):
         (snode[:, 1:] == snode[:, :-1]) & (st[:, 1:] == 1)
         & (st[:, :-1] == 0) & (snode[:, 1:] != INT32_MAX)], axis=1)
     left = lambda x: jnp.concatenate([x[:, :1] * 0, x[:, :-1]], axis=1)
-    cu_h = jnp.where(hit_u, left(sv_h), 0)
-    cu_l = jnp.where(hit_u, left(sv_l), 0)
+    cu = [jnp.where(hit_u, left(p), 0) for p in sv]
     # v slot (tag 0) matches when its right neighbor is the u copy
     hit_v = jnp.concatenate([
         (snode[:, :-1] == snode[:, 1:]) & (st[:, :-1] == 0)
         & (st[:, 1:] == 1) & (snode[:, :-1] != INT32_MAX),
         jnp.zeros((B, 1), bool)], axis=1)
     right = lambda x: jnp.concatenate([x[:, 1:], x[:, :1] * 0], axis=1)
-    cv_h = jnp.where(hit_v, right(su_h), 0)
-    cv_l = jnp.where(hit_v, right(su_l), 0)
-    out = jax.lax.sort((sp, cu_h, cu_l, cv_h, cv_l), num_keys=1)
-    _, cu_h, cu_l, cv_h, cv_l = out
+    cv = [jnp.where(hit_v, right(p), 0) for p in su]
+    # un-sort: original layout == (tag, node) ascending, rebuilt from spk
+    key2 = (st << 31) | (spk >> 1)
+    out = jax.lax.sort((key2, *cu, *cv), num_keys=1)
+    ocu = out[1:1 + len(cu)]
+    ocv = out[1 + len(cu):]
     # u slots were positions L..2L-1, v slots 0..L-1
-    return cu_h[:, L:], cu_l[:, L:], cv_h[:, :L], cv_l[:, :L]
+    return (tuple(c[:, L:] for c in ocu), tuple(c[:, :L] for c in ocv))
+
+
+def _cross_lookup_bidir(nodes_u, nodes_v, hu, lu, hv, lv):
+    """Two-payload (hi, lo) bidirectional lookup (see
+    `_cross_lookup_bidir_multi`)."""
+    (cu_h, cu_l), (cv_h, cv_l) = _cross_lookup_bidir_multi(
+        nodes_u, nodes_v, (hu, lu), (hv, lv))
+    return cu_h, cu_l, cv_h, cv_l
 
 
 def gather_join(nodes: jax.Array, eidx: jax.Array, sizes: jax.Array,
@@ -233,7 +248,10 @@ def join_gathered_keys(rows_nodes, rows_hi, rows_lo, rows_sizes,
                        impl: str = "merge") -> JoinedBatch:
     """Keys join over pre-gathered rows ([2, B, L] each) — used directly
     by the distributed path, where rows arrive via sharded psum gathers."""
+    from surel_plus_tpu.ops.walk import enc_field_layout
+
     nu, nv = rows_nodes[0], rows_nodes[1]
+    lo_only = enc_field_layout(num_walks, num_steps)[2] < 32
     if impl == "pallas":
         from surel_plus_tpu.ops.pallas.join_kernel import (
             pallas_cross_lookup_pair)
@@ -242,6 +260,13 @@ def join_gathered_keys(rows_nodes, rows_hi, rows_lo, rows_sizes,
             nu, nv, rows_hi[1], rows_lo[1])
         cross_hi_v, cross_lo_v = pallas_cross_lookup_pair(
             nv, nu, rows_hi[0], rows_lo[0])
+    elif lo_only:
+        # hi words are statically zero (field layout fits the lo word —
+        # every published config): 3-operand sort + 3-operand unsort
+        (cross_lo_u,), (cross_lo_v,) = _cross_lookup_bidir_multi(
+            nu, nv, (rows_lo[0],), (rows_lo[1],))
+        cross_hi_u = jnp.zeros_like(cross_lo_u)
+        cross_hi_v = jnp.zeros_like(cross_lo_v)
     else:
         cross_hi_u, cross_lo_u, cross_hi_v, cross_lo_v = \
             _cross_lookup_bidir(nu, nv, rows_hi[0], rows_lo[0],
@@ -266,16 +291,25 @@ def make_keys_hjoin(num_walks: int, num_steps: int):
     def join(nodes, khi, klo, sizes, hedges):
         if hedges.shape[0] != 3:
             raise ValueError("expects [3, B] hyperedges")
+        from surel_plus_tpu.ops.walk import enc_field_layout
+
         rn = nodes[hedges]       # [3, B, L]
         rh = khi[hedges]
         rl = klo[hedges]
         rs = sizes[hedges]
+        lo_only = enc_field_layout(num_walks, num_steps)[2] < 32
         # the four anchor/cross groups (u|w, w|u, v|w, w|v) are two
         # bidirectional pairs — one fused merge sort each
         khi_list, klo_list, masks = [], [], []
         for a, b in ((0, 2), (1, 2)):
-            ca_h, ca_l, cb_h, cb_l = _cross_lookup_bidir(
-                rn[a], rn[b], rh[a], rl[a], rh[b], rl[b])
+            if lo_only:
+                (ca_l,), (cb_l,) = _cross_lookup_bidir_multi(
+                    rn[a], rn[b], (rl[a],), (rl[b],))
+                ca_h = jnp.zeros_like(ca_l)
+                cb_h = jnp.zeros_like(cb_l)
+            else:
+                ca_h, ca_l, cb_h, cb_l = _cross_lookup_bidir(
+                    rn[a], rn[b], rh[a], rl[a], rh[b], rl[b])
             khi_list.append(jnp.stack([rh[a], ca_h], axis=-1))
             klo_list.append(jnp.stack([rl[a], ca_l], axis=-1))
             masks.append(rn[a] != INT32_MAX)

@@ -91,6 +91,7 @@ def sample_gsets(
     seed: int = 111413,
     bucket: Optional[int] = None,
     block_size: int = DEFAULT_BLOCK,
+    shuffle_seed: Optional[int] = None,
 ) -> SpG:
     """Sample node sets + LP encodings for `seeds`. `num_steps` is the walk
     step count S' (C convention); the encoding has S'+1 columns.
@@ -108,8 +109,9 @@ def sample_gsets(
     t0 = time.time()
     indptr, indices = device_graph(graph)
     root = jax.random.PRNGKey(seed)
-    shuffled = shuffled_indices_for(graph, seed)
-    etab, stab = walk_tables_for(graph, seed)
+    sseed = seed if shuffle_seed is None else shuffle_seed
+    shuffled = shuffled_indices_for(graph, sseed)
+    etab, stab = walk_tables_for(graph, sseed)
 
     nblocks = (n + block_size - 1) // block_size
     nodes_h = np.empty((n, bucket), dtype=np.int32)
@@ -310,6 +312,7 @@ def sample_gsets_device(
     seed: int = 111413,
     bucket: Optional[int] = None,
     block_size: int = DEFAULT_BLOCK,
+    shuffle_seed: Optional[int] = None,
     enc_width: int = 4096,
     max_enc_width: int = 1 << 16,
 ):
@@ -333,8 +336,9 @@ def sample_gsets_device(
     t0 = time.time()
     indptr, indices = device_graph(graph)
     root = jax.random.PRNGKey(seed)
-    shuffled = shuffled_indices_for(graph, seed)
-    etab, stab = walk_tables_for(graph, seed)
+    sseed = seed if shuffle_seed is None else shuffle_seed
+    shuffled = shuffled_indices_for(graph, sseed)
+    etab, stab = walk_tables_for(graph, sseed)
 
     log.info("sample_gsets_device: graph+shuffle ready %.1fs",
              time.time() - t0)
@@ -403,6 +407,7 @@ def sample_gsets_device_keys(
     seed: int = 111413,
     bucket: Optional[int] = None,
     block_size: int = DEFAULT_BLOCK,
+    shuffle_seed: Optional[int] = None,
 ):
     """Device-resident sampling WITHOUT the dedup/table stage: the SpG
     stores each set slot's packed landing-count key (hi, lo uint32), and
@@ -428,8 +433,9 @@ def sample_gsets_device_keys(
     t0 = time.time()
     indptr, indices = device_graph(graph)
     root = jax.random.PRNGKey(seed)
-    shuffled = shuffled_indices_for(graph, seed)
-    etab, stab = walk_tables_for(graph, seed)
+    sseed = seed if shuffle_seed is None else shuffle_seed
+    shuffled = shuffled_indices_for(graph, sseed)
+    etab, stab = walk_tables_for(graph, sseed)
 
     nblocks = (n + block_size - 1) // block_size
     nodes_b, sizes_b, hi_b, lo_b = [], [], [], []
