@@ -417,7 +417,8 @@ class DEHyperDataset:
         idx = np.random.permutation(len(tuples))
         num_train = int(ratio * len(tuples))
         split = {"train": {"hedge": tuples[idx[:num_train]]}}
-        val_idx, test_idx = np.split(idx[num_train:], 2)
+        hold = idx[num_train:]
+        val_idx, test_idx = hold[:len(hold) // 2], hold[len(hold) // 2:]
         for name, part in (("valid", val_idx), ("test", test_idx)):
             hedge = tuples[part]
             node_neg = np.random.randint(tuples.max(), size=(len(part), k))

@@ -30,14 +30,17 @@ class HONet(nn.Module):
         import jax.numpy as jnp
 
         pe = MLP2(self.hidden_dim, self.hidden_dim, name="pe_embedding")
+        # aggregate-before-project (see models/net.py): mean-pool the
+        # hidden activations, project the [4, B, h] aggregate once
         if jnp.issubdtype(joined.eidx.dtype, jnp.integer):
-            table = pe(enc_table)
-            pair = table[joined.eidx]      # [4, B, L, 2, h]
+            htable = pe.hidden(enc_table)
+            hpair = htable[joined.eidx]    # [4, B, L, 2, h]
         else:
             # packed-key path: unpacked feature pairs [4, B, L, 2, ncol]
-            pair = pe(joined.eidx)
-        x = pair.sum(axis=-2)              # [4, B, L, h]
-        agg = masked_mean(x, joined.mask)  # [4, B, h]
+            hpair = pe.hidden(joined.eidx)
+        hsum = hpair.sum(axis=-2)          # [4, B, L, h]
+        b2v = pe.project(jnp.zeros((1, self.hidden_dim), hsum.dtype))
+        agg = pe.project(masked_mean(hsum, joined.mask)) + b2v  # [4, B, h]
         score = MergeLayer(self.hidden_dim, self.out_dim, self.dropout,
                            name="affinity_score")(
             [agg[0], agg[1], agg[2], agg[3]], train=train)

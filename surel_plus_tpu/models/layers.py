@@ -23,19 +23,35 @@ class MLP2(nn.Module):
     The reference's `pe_embedding` / `feature_embedding`
     (model.py:54-57, model_horder.py:49-50). `dtype` selects the compute
     precision (bfloat16 on TPU: 4x MXU rate; params stay float32).
+
+    `hidden` / `project` expose the two halves separately so callers can
+    move set reductions BETWEEN them: sums and means commute with the
+    second (linear) layer, so aggregating the relu activations first and
+    projecting the [B, h] aggregate once avoids materializing the
+    projected per-slot tensor entirely (models/net.py). Parameter names
+    match the original compact layout (Dense_0 / Dense_1).
     """
 
     hidden_dim: int
     out_dim: int
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.fc0 = nn.Dense(self.hidden_dim, kernel_init=xavier_normal,
+                            dtype=self.dtype, name="Dense_0")
+        self.fc1 = nn.Dense(self.out_dim, kernel_init=xavier_normal,
+                            dtype=self.dtype, name="Dense_1")
+
     def __call__(self, x):
-        x = nn.Dense(self.hidden_dim, kernel_init=xavier_normal,
-                     dtype=self.dtype)(x)
-        x = nn.relu(x)
-        return nn.Dense(self.out_dim, kernel_init=xavier_normal,
-                        dtype=self.dtype)(x)
+        return self.fc1(nn.relu(self.fc0(x)))
+
+    def hidden(self, x):
+        """First layer + relu only."""
+        return nn.relu(self.fc0(x))
+
+    def project(self, h):
+        """Second (linear) layer only."""
+        return self.fc1(h)
 
 
 class MergeLayer(nn.Module):

@@ -41,7 +41,7 @@ class Net(nn.Module):
     aggrs: str = "mean"     # mean | lstm | attn
     # 'table': embed the unique encoding table once, join via gathers —
     #   cheapest forward, but the backward is an embedding scatter-add.
-    # 'direct': apply the MLP to gathered rows under remat — more MXU
+    # 'direct': apply the MLP's hidden layer to gathered rows — more MXU
     #   FLOPs, zero scatters in the backward (enc is a constant). Same
     #   parameter tree; pick per-phase (train: direct, inference: table).
     embed_mode: str = "table"
@@ -57,36 +57,48 @@ class Net(nn.Module):
         feature: optional raw features [2, B, x_dim].
         Returns logits [B]."""
         cdtype = jnp.dtype(self.dtype)
-        mlp_cls = nn.remat(MLP2) if self.embed_mode == "direct" else MLP2
-        pe = mlp_cls(self.hidden_dim, self.hidden_dim, dtype=cdtype,
-                     name="pe_embedding")
+        pe = MLP2(self.hidden_dim, self.hidden_dim, dtype=cdtype,
+                  name="pe_embedding")
+        # Aggregate-before-project: every path below computes only the
+        # HIDDEN activations per (slot, pair-side), sums over the pair
+        # axis, and defers pe's second (linear) layer until after as much
+        # reduction as possible — sums/means commute with it, so
+        #   masked_mean(pe(e).sum(-2)) == pe.project(masked_mean(hsum)) + b2
+        # (each valid slot carries exactly two bias terms; `b2v` restores
+        # the second one). The reference projects every slot
+        # (model.py:78); on TPU that materializes a [2, B, L, 2, h]
+        # activation that is pure HBM traffic — the aggregate form writes
+        # [2, B, L, h] once (hidden) and projects [2, B, h].
         if jnp.issubdtype(joined.eidx.dtype, jnp.integer):
             if self.embed_mode == "direct":
-                pair = pe(enc_table[joined.eidx])          # [2, B, L, 2, h]
+                hpair = pe.hidden(enc_table[joined.eidx])  # [2, B, L, 2, h]
             else:
                 # LP path: embed unique encodings once; join == gather +
                 # add (model.py:78's pe_embedding(x).sum(dim=-2),
                 # algebraically rewritten over the deduped table).
-                table = pe(enc_table)                      # [U+1, h]
-                pair = table[joined.eidx]                  # [2, B, L, 2, h]
+                htable = pe.hidden(enc_table)              # [U+1, h]
+                hpair = htable[joined.eidx]                # [2, B, L, 2, h]
         elif joined.eidx.ndim == 5:
             # packed-key path: joined.eidx carries unpacked encoding
             # feature pairs [2, B, L, 2, ncol] (join.py:make_keys_join).
-            pair = pe(joined.eidx)
+            hpair = pe.hidden(joined.eidx)
         else:
             # scalar metric path (PPR/SPD/DEG, encode=None in train.py:39-43):
             # joined.eidx carries float value pairs [2, B, L, 2].
-            pair = pe(joined.eidx[..., None])
-        x = pair.sum(axis=-2)                              # [2, B, L, h]
+            hpair = pe.hidden(joined.eidx[..., None])
+        hsum = hpair.sum(axis=-2)                          # [2, B, L, h]
+        b2v = pe.project(jnp.zeros((1, self.hidden_dim), hsum.dtype))
 
         if self.aggrs == "attn":
+            x = pe.project(hsum) + b2v                     # [2, B, L, h]
             agg = AttentionAggregation(self.hidden_dim, name="aggr")(
                 x, joined.mask)
         elif self.aggrs == "lstm":
+            x = pe.project(hsum) + b2v
             agg = LSTMAggregation(self.hidden_dim, name="aggr")(
                 x, joined.mask)
         elif self.aggrs == "mean":
-            agg = masked_mean(x, joined.mask)
+            agg = pe.project(masked_mean(hsum, joined.mask)) + b2v
         else:
             raise ValueError(f"unknown aggregator {self.aggrs!r}")
         agg = agg.astype(jnp.float32)
