@@ -49,6 +49,17 @@ class MLP2(nn.Module):
         """First layer + relu only."""
         return nn.relu(self.fc0(x))
 
+    def hidden_raw(self, in_dim: int):
+        """fc0's raw (kernel, bias) for fused kernels.
+
+        Materializes the params (via a 1-row dummy call, so init and the
+        parameter tree are identical to the standard path) and returns
+        them uncast — callers pick the compute dtype.
+        """
+        _ = self.fc0(jnp.zeros((1, in_dim), self.dtype))
+        p = self.fc0.variables["params"]
+        return p["kernel"], p["bias"]
+
     def project(self, h):
         """Second (linear) layer only."""
         return self.fc1(h)

@@ -15,7 +15,7 @@ all XLA-native.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -29,6 +29,11 @@ from surel_plus_tpu.models.layers import (
     masked_mean,
 )
 from surel_plus_tpu.ops.join import JoinedBatch
+from surel_plus_tpu.ops.pallas.hidden_sum_kernel import (
+    NEG,
+    fused_key_hidden_sum,
+    key_expand_matrix,
+)
 
 
 class Net(nn.Module):
@@ -47,6 +52,14 @@ class Net(nn.Module):
     embed_mode: str = "table"
     # compute precision for the hot layers; params stay float32
     dtype: str = "float32"
+    # Pallas fused key-unpack+hidden+mask+set-sum for the mean aggregator
+    # over packed-key joins (the row activations never touch HBM; backward
+    # recomputes them from the 32x-smaller keys —
+    # ops/pallas/hidden_sum_kernel.py). Needs key_layout =
+    # (num_walks, num_steps) — trainer_from_keys fills it in. None = auto:
+    # on for TPU, off elsewhere (CPU runs it in slow interpret mode).
+    fused_hidden: Optional[bool] = None
+    key_layout: Optional[Tuple[int, int]] = None
 
     @nn.compact
     def __call__(self, enc_table: jax.Array, joined: JoinedBatch,
@@ -69,23 +82,54 @@ class Net(nn.Module):
         # (model.py:78); on TPU that materializes a [2, B, L, 2, h]
         # activation that is pure HBM traffic — the aggregate form writes
         # [2, B, L, h] once (hidden) and projects [2, B, h].
+        xrows = None  # pre-hidden rows [2, B, L, 2, C] when materialized
         if jnp.issubdtype(joined.eidx.dtype, jnp.integer):
             if self.embed_mode == "direct":
-                hpair = pe.hidden(enc_table[joined.eidx])  # [2, B, L, 2, h]
-            else:
-                # LP path: embed unique encodings once; join == gather +
-                # add (model.py:78's pe_embedding(x).sum(dim=-2),
-                # algebraically rewritten over the deduped table).
-                htable = pe.hidden(enc_table)              # [U+1, h]
-                hpair = htable[joined.eidx]                # [2, B, L, 2, h]
+                xrows = enc_table[joined.eidx]             # [2, B, L, 2, C]
         elif joined.eidx.ndim == 5:
             # packed-key path: joined.eidx carries unpacked encoding
             # feature pairs [2, B, L, 2, ncol] (join.py:make_keys_join).
-            hpair = pe.hidden(joined.eidx)
+            xrows = joined.eidx
         else:
             # scalar metric path (PPR/SPD/DEG, encode=None in train.py:39-43):
             # joined.eidx carries float value pairs [2, B, L, 2].
-            hpair = pe.hidden(joined.eidx[..., None])
+            xrows = joined.eidx[..., None]
+
+        fuse = self.fused_hidden
+        if fuse is None:
+            fuse = jax.default_backend() == "tpu"
+        if (fuse and self.aggrs == "mean" and joined.kown is not None
+                and self.key_layout is not None):
+            # Fused path: one Pallas pass per batch computes
+            #   sum_l mask[l] * (relu(f(kown[l]) W1 + b1)
+            #                  + relu(f(kcross[l]) W1 + b1))
+            # from the PACKED keys — unpack + first matmul collapse into
+            # bits(k) @ (E @ W1), nothing row-sized touches HBM, and the
+            # backward recomputes activations from the keys.
+            nw, ns = self.key_layout
+            w1, b1 = pe.hidden_raw(ns + 1)
+            e = jnp.asarray(key_expand_matrix(nw, ns))     # [NB, ncol]
+            u = e @ w1.astype(jnp.float32)                 # [NB, h]
+            u_ext = jnp.concatenate(
+                [u, jnp.full((1, self.hidden_dim), NEG, jnp.float32),
+                 b1.astype(jnp.float32)[None]], axis=0)
+            sums = fused_key_hidden_sum(
+                joined.kown, joined.kcross, joined.mask, u_ext)
+            cnt = jnp.maximum(joined.mask.sum(axis=-1), 1)  # [Q, B]
+            mean = (sums / cnt[..., None].astype(jnp.float32)
+                    ).astype(cdtype)                       # [Q, B, h]
+            b2v = pe.project(jnp.zeros((1, self.hidden_dim), cdtype))
+            agg = pe.project(mean) + b2v
+            return self._score(agg, feature, cdtype, train)
+
+        if xrows is not None:
+            hpair = pe.hidden(xrows)                       # [2, B, L, 2, h]
+        else:
+            # LP path: embed unique encodings once; join == gather +
+            # add (model.py:78's pe_embedding(x).sum(dim=-2),
+            # algebraically rewritten over the deduped table).
+            htable = pe.hidden(enc_table)                  # [U+1, h]
+            hpair = htable[joined.eidx]                    # [2, B, L, 2, h]
         hsum = hpair.sum(axis=-2)                          # [2, B, L, h]
         b2v = pe.project(jnp.zeros((1, self.hidden_dim), hsum.dtype))
 
@@ -101,6 +145,11 @@ class Net(nn.Module):
             agg = pe.project(masked_mean(hsum, joined.mask)) + b2v
         else:
             raise ValueError(f"unknown aggregator {self.aggrs!r}")
+        return self._score(agg, feature, cdtype, train)
+
+    def _score(self, agg: jax.Array, feature: Optional[jax.Array],
+               cdtype, train: bool) -> jax.Array:
+        """Endpoint concat + optional raw-feature branch + MergeLayer."""
         agg = agg.astype(jnp.float32)
         xl, xr = agg[0], agg[1]                            # [B, h]
 

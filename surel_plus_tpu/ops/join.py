@@ -21,7 +21,7 @@ work with `embed[eidx_u] + embed[eidx_cross]` — see models/net.py.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,11 +38,18 @@ class JoinedBatch(NamedTuple):
            encoding row — reproducing train.py:33-37's masked-add).
     mask:  bool  [Q, B, L]    — validity of each set slot.
     sizes: int32 [Q, B]       — true set sizes.
+    kown/kcross: uint32 [Q, B, L] packed lo keys (anchor / cross side),
+           set by the keys joins when the field layout fits the lo word.
+           Lane-dense duplicates of the information in eidx for the
+           Pallas fused hidden kernel (models/net.py); consumers that
+           read eidx instead leave these dead and XLA removes them.
     """
 
     eidx: jax.Array
     mask: jax.Array
     sizes: jax.Array
+    kown: Optional[jax.Array] = None
+    kcross: Optional[jax.Array] = None
 
 
 def _cross_lookup_multi(nodes_a: jax.Array, nodes_b: jax.Array,
@@ -281,7 +288,12 @@ def join_gathered_keys(rows_nodes, rows_hi, rows_lo, rows_sizes,
     ])
     feats = unpack_key_features(khi_pairs, klo_pairs, num_walks, num_steps)
     mask = rows_nodes != jnp.int32(INT32_MAX)
-    return JoinedBatch(eidx=feats, mask=mask, sizes=rows_sizes)
+    kown = kcross = None
+    if lo_only:
+        kown = jnp.stack([rows_lo[0], rows_lo[1]])
+        kcross = jnp.stack([cross_lo_u, cross_lo_v])
+    return JoinedBatch(eidx=feats, mask=mask, sizes=rows_sizes,
+                       kown=kown, kcross=kcross)
 
 
 def make_keys_hjoin(num_walks: int, num_steps: int):

@@ -533,6 +533,10 @@ def trainer_from_keys(model, spgk, config: TrainConfig,
     if join_factory is None:
         join_factory = make_keys_join
     join = join_factory(spgk.num_walks, spgk.num_steps)
+    # static key layout lets the model fuse unpack+hidden+sum in Pallas
+    if getattr(model, "key_layout", False) is None:
+        model = model.clone(
+            key_layout=(spgk.num_walks, spgk.num_steps))
 
     dev = SpGDevice(nodes=spgk.nodes, eidx=spgk.nodes, sizes=spgk.sizes,
                     enc=jnp.zeros((1, 1), jnp.float32))

@@ -1,0 +1,176 @@
+"""Fused key-unpack+hidden+set-sum Pallas kernel (interpret mode on CPU).
+
+Covers key_expand_matrix (bits(k) @ E == unpack(k)), the raw kernel
+forward + custom-VJP gradients vs the XLA reference, and the integration
+into Net's mean path over a real packed-key join (reference
+model.py:67,78)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surel_plus_tpu.graph.synthetic import rmat_graph
+from surel_plus_tpu.models import Net
+from surel_plus_tpu.ops.join import (
+    JoinedBatch,
+    make_keys_join,
+    unpack_key_features,
+)
+from surel_plus_tpu.ops.pallas.hidden_sum_kernel import (
+    NEG,
+    fused_key_hidden_sum,
+    key_expand_matrix,
+)
+from surel_plus_tpu.ops.sampler import sample_gsets_device_keys
+
+NW, NS = 10, 3          # shift=4: starts {3:0, 2:4, 1:8}, lead_bit=12
+
+
+def _rand_keys(rng, shape):
+    """Random keys covering every field plus the root bit."""
+    from surel_plus_tpu.ops.walk import enc_field_layout
+
+    shift, starts, lead_bit = enc_field_layout(NW, NS)
+    k = np.zeros(shape, np.uint32)
+    for j in range(1, NS + 1):
+        k |= rng.integers(0, NW + 1, size=shape).astype(
+            np.uint32) << np.uint32(starts[j])
+    k |= rng.integers(0, 2, size=shape).astype(
+        np.uint32) << np.uint32(lead_bit)
+    return k
+
+
+def _u_ext(w1, b1):
+    e = jnp.asarray(key_expand_matrix(NW, NS))
+    return jnp.concatenate(
+        [e @ w1, jnp.full((1, w1.shape[1]), NEG, jnp.float32), b1[None]],
+        axis=0)
+
+
+def _ref_sums(kown, kcross, mask, w1, b1):
+    """XLA reference: unpack -> hidden -> masked set sum over both sides."""
+    zeros = jnp.zeros_like(kown)
+    feats_own = unpack_key_features(zeros, kown, NW, NS)
+    feats_cross = unpack_key_features(zeros, kcross, NW, NS)
+    h = (jnp.maximum(feats_own @ w1 + b1, 0.0)
+         + jnp.maximum(feats_cross @ w1 + b1, 0.0))
+    return (h * mask[..., None].astype(h.dtype)).sum(axis=-2)
+
+
+def test_expand_matrix_matches_unpack():
+    rng = np.random.default_rng(0)
+    k = _rand_keys(rng, (5, 7))
+    feats = unpack_key_features(jnp.zeros((5, 7), jnp.uint32),
+                                jnp.asarray(k), NW, NS)
+    nb = key_expand_matrix(NW, NS).shape[0]
+    bits = ((k[..., None] >> np.arange(nb, dtype=np.uint32)) & 1)
+    via_e = bits.astype(np.float32) @ key_expand_matrix(NW, NS)
+    np.testing.assert_allclose(via_e, np.asarray(feats), rtol=1e-6)
+
+
+def test_fused_forward_matches_reference():
+    rng = np.random.default_rng(1)
+    # deliberately unaligned B and odd L to exercise internal padding
+    Q, B, L, H = 2, 11, 19, 16
+    kown = jnp.asarray(_rand_keys(rng, (Q, B, L)))
+    kcross = jnp.asarray(_rand_keys(rng, (Q, B, L)))
+    mask = jnp.asarray(rng.random((Q, B, L)) < 0.7)
+    w1 = jnp.asarray(rng.normal(size=(NS + 1, H)).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(size=(H,)).astype(np.float32))
+
+    got = fused_key_hidden_sum(kown, kcross, mask, _u_ext(w1, b1),
+                               interpret=True)
+    want = _ref_sums(kown, kcross, mask, w1, b1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_grads_match_reference():
+    rng = np.random.default_rng(2)
+    Q, B, L, H = 2, 8, 9, 8
+    kown = jnp.asarray(_rand_keys(rng, (Q, B, L)))
+    kcross = jnp.asarray(_rand_keys(rng, (Q, B, L)))
+    mask = jnp.asarray(rng.random((Q, B, L)) < 0.6)
+    w1 = jnp.asarray(rng.normal(size=(NS + 1, H)).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(size=(H,)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(Q, B, H)).astype(np.float32))
+
+    def loss_f(w, b):
+        return (fused_key_hidden_sum(kown, kcross, mask, _u_ext(w, b),
+                                     interpret=True) * g).sum()
+
+    def loss_r(w, b):
+        return (_ref_sums(kown, kcross, mask, w, b) * g).sum()
+
+    gf = jax.grad(loss_f, argnums=(0, 1))(w1, b1)
+    gr = jax.grad(loss_r, argnums=(0, 1))(w1, b1)
+    np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gr[1]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_all_masked_set_is_zero():
+    rng = np.random.default_rng(3)
+    Q, B, L, H = 2, 8, 5, 8
+    kown = jnp.asarray(_rand_keys(rng, (Q, B, L)))
+    kcross = jnp.asarray(_rand_keys(rng, (Q, B, L)))
+    mask = jnp.zeros((Q, B, L), bool).at[:, 1:].set(True)
+    w1 = jnp.asarray(rng.normal(size=(NS + 1, H)).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(size=(H,)).astype(np.float32))
+    got = fused_key_hidden_sum(kown, kcross, mask, _u_ext(w1, b1),
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(got)[:, 0], 0.0, atol=1e-6)
+
+
+def test_net_fused_matches_unfused_on_real_join():
+    """Same params over a real sampled packed-key join: fused and XLA
+    paths agree on logits and parameter gradients."""
+    g = rmat_graph(200, 1000, seed=5)
+    seeds = np.arange(g.num_nodes, dtype=np.int32)
+    spgk = sample_gsets_device_keys(g, seeds, num_walks=NW, num_steps=NS,
+                                    seed=3, block_size=64)
+    rng = np.random.default_rng(4)
+    edges = jnp.asarray(rng.integers(0, 200, size=(2, 24)).astype(np.int32))
+    joined = make_keys_join(NW, NS)(spgk.nodes, spgk.khi, spgk.klo,
+                                    spgk.sizes, edges)
+    assert joined.kown is not None
+
+    kw = dict(input_dim=NS + 1, hidden_dim=32, aggrs="mean",
+              dtype="float32", key_layout=(NW, NS))
+    m0 = Net(fused_hidden=False, **kw)
+    m1 = Net(fused_hidden=True, **kw)
+    enc = jnp.zeros((1, 1), jnp.float32)
+    p0 = m0.init(jax.random.PRNGKey(0), enc, joined)
+    p1 = m1.init(jax.random.PRNGKey(0), enc, joined)
+    assert (jax.tree_util.tree_structure(p0)
+            == jax.tree_util.tree_structure(p1))
+
+    l0 = m0.apply(p0, enc, joined)
+    l1 = m1.apply(p1, enc, joined)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                               rtol=1e-5, atol=1e-5)
+
+    g0 = jax.grad(lambda p: (m0.apply(p, enc, joined) ** 2).sum())(p0)
+    g1 = jax.grad(lambda p: (m1.apply(p, enc, joined) ** 2).sum())(p1)
+    for (k0, a), (k1, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(g0),
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(g1),
+                   key=lambda kv: str(kv[0]))):
+        assert str(k0) == str(k1)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(k0))
+
+
+def test_trainer_from_keys_sets_key_layout():
+    from surel_plus_tpu.train import TrainConfig
+    from surel_plus_tpu.train.device import trainer_from_keys
+
+    g = rmat_graph(100, 500, seed=6)
+    spgk = sample_gsets_device_keys(
+        g, np.arange(100, dtype=np.int32), num_walks=NW, num_steps=NS,
+        seed=0, block_size=64)
+    model = Net(input_dim=NS + 1, hidden_dim=16, aggrs="mean")
+    tr = trainer_from_keys(model, spgk, TrainConfig(batch_size=8))
+    assert tr.train_model.key_layout == (NW, NS)
