@@ -99,6 +99,7 @@ class Net(nn.Module):
         if fuse is None:
             fuse = jax.default_backend() == "tpu"
         if (fuse and self.aggrs == "mean" and joined.kown is not None
+                and joined.kcross_mask is not None
                 and self.key_layout is not None):
             # Fused path: one Pallas pass per batch computes
             #   sum_l mask[l] * (relu(f(kown[l]) W1 + b1)
@@ -114,7 +115,8 @@ class Net(nn.Module):
                 [u, jnp.full((1, self.hidden_dim), NEG, jnp.float32),
                  b1.astype(jnp.float32)[None]], axis=0)
             sums = fused_key_hidden_sum(
-                joined.kown, joined.kcross, joined.mask, u_ext)
+                joined.kown, joined.mask, joined.kcross,
+                joined.kcross_mask, u_ext)
             cnt = jnp.maximum(joined.mask.sum(axis=-1), 1)  # [Q, B]
             mean = (sums / cnt[..., None].astype(jnp.float32)
                     ).astype(cdtype)                       # [Q, B, h]

@@ -38,11 +38,17 @@ class JoinedBatch(NamedTuple):
            encoding row — reproducing train.py:33-37's masked-add).
     mask:  bool  [Q, B, L]    — validity of each set slot.
     sizes: int32 [Q, B]       — true set sizes.
-    kown/kcross: uint32 [Q, B, L] packed lo keys (anchor / cross side),
-           set by the keys joins when the field layout fits the lo word.
-           Lane-dense duplicates of the information in eidx for the
-           Pallas fused hidden kernel (models/net.py); consumers that
-           read eidx instead leave these dead and XLA removes them.
+    kown/kcross: packed lo keys (uint32), set by the keys joins when the
+           field layout fits the lo word — lane-dense duplicates of the
+           information in eidx for the Pallas fused hidden kernel
+           (models/net.py). kown is [Q, B, L] in original slot order
+           (mask applies); kcross is ONE shared [B, 2L] plane in
+           MERGED-SORT order holding every endpoint's matches at
+           disjoint positions, selected per endpoint by kcross_mask
+           [Q, B, 2L] — set sums are order-invariant, so the fused path
+           consumes the merge output directly and XLA
+           dead-code-eliminates the un-sort pass. Consumers that read
+           eidx instead leave all three dead and XLA removes them.
     """
 
     eidx: jax.Array
@@ -50,6 +56,7 @@ class JoinedBatch(NamedTuple):
     sizes: jax.Array
     kown: Optional[jax.Array] = None
     kcross: Optional[jax.Array] = None
+    kcross_mask: Optional[jax.Array] = None
 
 
 def _cross_lookup_multi(nodes_a: jax.Array, nodes_b: jax.Array,
@@ -104,7 +111,8 @@ def _cross_lookup(nodes_a: jax.Array, nodes_b: jax.Array,
     return _cross_lookup_multi(nodes_a, nodes_b, eidx_b)[0]
 
 
-def _cross_lookup_bidir_multi(nodes_u, nodes_v, pays_u, pays_v):
+def _cross_lookup_bidir_multi(nodes_u, nodes_v, pays_u, pays_v,
+                              want_sorted: bool = False):
     """BOTH cross directions from ONE merge sort, N payloads per side.
 
     The two `_cross_lookup_multi` calls of a join sort the same node
@@ -122,6 +130,15 @@ def _cross_lookup_bidir_multi(nodes_u, nodes_v, pays_u, pays_v):
     Returns (cross_u, cross_v): tuples where cross_u[i][b, l] is
     pays_v[i]'s value for nodes_u[b, l] in nodes_v (0 if absent), and
     symmetrically. Rows ascending, unique, INT32_MAX padded.
+
+    want_sorted: additionally return the SORTED-ORDER cross planes
+    (su_cross, su_mask, sv_cross, sv_mask), each [B, 2L]: su_cross[i] is
+    pays_v[i]'s match at every u-copy position of the merged order (0
+    where the partner is absent) and su_mask flags those u-copy
+    positions. Order-invariant consumers (a masked set SUM, e.g. the
+    fused mean path in models/net.py) can use these and let XLA
+    dead-code-eliminate the un-sort entirely — halving the join's sort
+    cost.
     """
     B, L = nodes_u.shape
     assert len(pays_u) == len(pays_v)
@@ -161,7 +178,13 @@ def _cross_lookup_bidir_multi(nodes_u, nodes_v, pays_u, pays_v):
     ocu = out[1:1 + len(cu)]
     ocv = out[1 + len(cu):]
     # u slots were positions L..2L-1, v slots 0..L-1
-    return (tuple(c[:, L:] for c in ocu), tuple(c[:, :L] for c in ocv))
+    aligned = (tuple(c[:, L:] for c in ocu), tuple(c[:, :L] for c in ocv))
+    if not want_sorted:
+        return aligned
+    pad = snode != INT32_MAX
+    su_mask = (st == 1) & pad
+    sv_mask = (st == 0) & pad
+    return aligned + (tuple(cu), su_mask, tuple(cv), sv_mask)
 
 
 def _cross_lookup_bidir(nodes_u, nodes_v, hu, lu, hv, lv):
@@ -270,8 +293,9 @@ def join_gathered_keys(rows_nodes, rows_hi, rows_lo, rows_sizes,
     elif lo_only:
         # hi words are statically zero (field layout fits the lo word —
         # every published config): 3-operand sort + 3-operand unsort
-        (cross_lo_u,), (cross_lo_v,) = _cross_lookup_bidir_multi(
-            nu, nv, (rows_lo[0],), (rows_lo[1],))
+        ((cross_lo_u,), (cross_lo_v,), (scu,), su_mask, (scv,),
+         sv_mask) = _cross_lookup_bidir_multi(
+            nu, nv, (rows_lo[0],), (rows_lo[1],), want_sorted=True)
         cross_hi_u = jnp.zeros_like(cross_lo_u)
         cross_hi_v = jnp.zeros_like(cross_lo_v)
     else:
@@ -288,12 +312,15 @@ def join_gathered_keys(rows_nodes, rows_hi, rows_lo, rows_sizes,
     ])
     feats = unpack_key_features(khi_pairs, klo_pairs, num_walks, num_steps)
     mask = rows_nodes != jnp.int32(INT32_MAX)
-    kown = kcross = None
-    if lo_only:
+    kown = kcross = kcross_mask = None
+    if lo_only and impl != "pallas":
         kown = jnp.stack([rows_lo[0], rows_lo[1]])
-        kcross = jnp.stack([cross_lo_u, cross_lo_v])
+        # ONE shared merged-sort plane: each direction's matches occupy
+        # disjoint (tag-separated) positions, selected by the per-q mask
+        kcross = scu + scv                           # [B, 2L]
+        kcross_mask = jnp.stack([su_mask, sv_mask])
     return JoinedBatch(eidx=feats, mask=mask, sizes=rows_sizes,
-                       kown=kown, kcross=kcross)
+                       kown=kown, kcross=kcross, kcross_mask=kcross_mask)
 
 
 def make_keys_hjoin(num_walks: int, num_steps: int):

@@ -91,46 +91,74 @@ def _bits_ext(kv, inv, nb):
 _CONTRACT_BITS = (((0,), (0,)), ((), ()))
 
 
-def _fwd_kernel(ko_ref, kc_ref, mk_ref, u_ref, out_ref):
-    p, tbl = ko_ref.shape
+def _z_of(kv, inv, u, nbx):
+    be = _bits_ext(kv, inv, nbx - 2)
+    z = jax.lax.dot_general(
+        be, u, dimension_numbers=_CONTRACT_BITS,
+        preferred_element_type=jnp.float32)          # [TB*ell, H]
+    return be, z
+
+
+def _group_sel(mc, tb, ell):
+    """[tb, tb*ell] f32 selector: row t weights slots of set t by mc."""
+    tbl = mc.shape[0]
+    gi = jax.lax.broadcasted_iota(jnp.int32, (tb, tbl), 0)
+    li = jax.lax.broadcasted_iota(jnp.int32, (tb, tbl), 1)
+    sel = jnp.where((li // ell) == gi,
+                    jnp.broadcast_to(mc[None, :], (tb, tbl)), 0)
+    return sel.astype(jnp.float32)
+
+
+def _fwd_kernel(ko_ref, mo_ref, kc_ref, mc_ref, u_ref, out_ref):
+    p = ko_ref.shape[0]
     nbx, h = u_ref.shape
     tb = out_ref.shape[1]
-    ell = tbl // tb
     u = u_ref[:]
+    ello = ko_ref.shape[1] // tb
+    ellc = kc_ref.shape[1] // tb
+    # shared cross plane: the merged-sort order holds BOTH directions'
+    # matches disjointly, so its hidden activations are computed once and
+    # the per-endpoint sums split out via masked group-sum matmuls (the
+    # q-masks also zero the padding, so no NEG column is needed here)
+    _, zc = _z_of(kc_ref[0], jnp.zeros((tb * ellc,), jnp.float32), u, nbx)
+    rc = jnp.maximum(zc, 0.0)                        # [TB*ellc, H]
     for pi in range(p):
-        inv = 1.0 - mk_ref[pi].astype(jnp.float32)
-        acc = None
-        for k_ref in (ko_ref, kc_ref):
-            be = _bits_ext(k_ref[pi], inv, nbx - 2)
-            z = jax.lax.dot_general(
-                be, u, dimension_numbers=_CONTRACT_BITS,
-                preferred_element_type=jnp.float32)  # [TBL, H]
-            s = jnp.maximum(z, 0.0).reshape(tb, ell, h).sum(axis=1)
-            acc = s if acc is None else acc + s
-        out_ref[pi] = acc
+        _, z = _z_of(ko_ref[pi],
+                     1.0 - mo_ref[pi].astype(jnp.float32), u, nbx)
+        s = jnp.maximum(z, 0.0).reshape(tb, ello, h).sum(axis=1)
+        sel = _group_sel(mc_ref[pi], tb, ellc)
+        out_ref[pi] = s + jnp.dot(sel, rc,
+                                  preferred_element_type=jnp.float32)
 
 
-def _bwd_kernel(ko_ref, kc_ref, mk_ref, u_ref, g_ref, du_ref):
+def _bwd_kernel(ko_ref, mo_ref, kc_ref, mc_ref, u_ref, g_ref, du_ref):
     i = pl.program_id(0)
-    p, tbl = ko_ref.shape
+    p = ko_ref.shape[0]
     nbx, h = u_ref.shape
     tb = g_ref.shape[1]
-    ell = tbl // tb
     u = u_ref[:]
+    ello = ko_ref.shape[1] // tb
+    ellc = kc_ref.shape[1] // tb
+    bec, zc = _z_of(kc_ref[0], jnp.zeros((tb * ellc,), jnp.float32),
+                    u, nbx)
+    gc = None
     acc = None
     for pi in range(p):
-        inv = 1.0 - mk_ref[pi].astype(jnp.float32)
         gb = jnp.broadcast_to(
-            g_ref[pi][:, None, :], (tb, ell, h)).reshape(tbl, h)
-        for k_ref in (ko_ref, kc_ref):
-            be = _bits_ext(k_ref[pi], inv, nbx - 2)
-            z = jax.lax.dot_general(
-                be, u, dimension_numbers=_CONTRACT_BITS,
-                preferred_element_type=jnp.float32)  # [TBL, H]
-            dz = jnp.where(z > 0, gb, 0.0)
-            dup = jnp.dot(be, dz,
-                          preferred_element_type=jnp.float32)  # [NBX, H]
-            acc = dup if acc is None else acc + dup
+            g_ref[pi][:, None, :], (tb, ello, h)).reshape(tb * ello, h)
+        be, z = _z_of(ko_ref[pi],
+                      1.0 - mo_ref[pi].astype(jnp.float32), u, nbx)
+        dz = jnp.where(z > 0, gb, 0.0)
+        dup = jnp.dot(be, dz, preferred_element_type=jnp.float32)
+        acc = dup if acc is None else acc + dup
+        # cross cotangent routed through the group selector: [TBLc, H]
+        sel = _group_sel(mc_ref[pi], tb, ellc)
+        gpi = jax.lax.dot_general(
+            sel, g_ref[pi], dimension_numbers=_CONTRACT_BITS,
+            preferred_element_type=jnp.float32)
+        gc = gpi if gc is None else gc + gpi
+    dzc = jnp.where(zc > 0, gc, 0.0)
+    acc += jnp.dot(bec, dzc, preferred_element_type=jnp.float32)
 
     @pl.when(i == 0)
     def _():
@@ -139,12 +167,13 @@ def _bwd_kernel(ko_ref, kc_ref, mk_ref, u_ref, g_ref, du_ref):
     du_ref[:] += acc
 
 
-def _specs(p, tb, ell, nbx, h):
+def _specs(p, tb, ello, ellc, nbx, h):
     blk = lambda shape, imap: pl.BlockSpec(shape, imap,
                                            memory_space=pltpu.VMEM)
-    ins = [blk((p, tb * ell), lambda i: (0, i)),
-           blk((p, tb * ell), lambda i: (0, i)),
-           blk((p, tb * ell), lambda i: (0, i)),
+    ins = [blk((p, tb * ello), lambda i: (0, i)),
+           blk((p, tb * ello), lambda i: (0, i)),
+           blk((1, tb * ellc), lambda i: (0, i)),
+           blk((p, tb * ellc), lambda i: (0, i)),
            blk((nbx, h), lambda i: (0, 0))]
     out = blk((p, tb, h), lambda i: (0, i, 0))
     dub = blk((nbx, h), lambda i: (0, 0))
@@ -152,11 +181,11 @@ def _specs(p, tb, ell, nbx, h):
     return ins, out, dub, gin
 
 
-def _pallas_fwd(ko, kc, mk, u, tb, ell, interpret):
-    p, _ = ko.shape
-    b = ko.shape[1] // ell
+def _pallas_fwd(ko, mo, kc, mc, u, tb, ello, ellc, interpret):
+    p = ko.shape[0]
+    b = ko.shape[1] // ello
     nbx, h = u.shape
-    ins, out, _, _ = _specs(p, tb, ell, nbx, h)
+    ins, out, _, _ = _specs(p, tb, ello, ellc, nbx, h)
     return pl.pallas_call(
         _fwd_kernel,
         grid=(b // tb,),
@@ -164,14 +193,14 @@ def _pallas_fwd(ko, kc, mk, u, tb, ell, interpret):
         out_specs=out,
         out_shape=jax.ShapeDtypeStruct((p, b, h), jnp.float32),
         interpret=interpret,
-    )(ko, kc, mk, u)
+    )(ko, mo, kc, mc, u)
 
 
-def _pallas_bwd(ko, kc, mk, u, g, tb, ell, interpret):
-    p, _ = ko.shape
-    b = ko.shape[1] // ell
+def _pallas_bwd(ko, mo, kc, mc, u, g, tb, ello, ellc, interpret):
+    p = ko.shape[0]
+    b = ko.shape[1] // ello
     nbx, h = u.shape
-    ins, _, dub, gin = _specs(p, tb, ell, nbx, h)
+    ins, _, dub, gin = _specs(p, tb, ello, ellc, nbx, h)
     return pl.pallas_call(
         _bwd_kernel,
         grid=(b // tb,),
@@ -179,24 +208,25 @@ def _pallas_bwd(ko, kc, mk, u, g, tb, ell, interpret):
         out_specs=dub,
         out_shape=jax.ShapeDtypeStruct((nbx, h), jnp.float32),
         interpret=interpret,
-    )(ko, kc, mk, u, g)
+    )(ko, mo, kc, mc, u, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _fused(ko, kc, mk, u, tb, ell, interpret):
-    return _pallas_fwd(ko, kc, mk, u, tb, ell, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused(ko, mo, kc, mc, u, tb, ello, ellc, interpret):
+    return _pallas_fwd(ko, mo, kc, mc, u, tb, ello, ellc, interpret)
 
 
-def _fused_fwd(ko, kc, mk, u, tb, ell, interpret):
-    return _pallas_fwd(ko, kc, mk, u, tb, ell, interpret), (ko, kc, mk, u)
+def _fused_fwd(ko, mo, kc, mc, u, tb, ello, ellc, interpret):
+    return (_pallas_fwd(ko, mo, kc, mc, u, tb, ello, ellc, interpret),
+            (ko, mo, kc, mc, u))
 
 
-def _fused_bwd(tb, ell, interpret, res, g):
-    ko, kc, mk, u = res
-    du = _pallas_bwd(ko, kc, mk, u, g.astype(jnp.float32), tb, ell,
-                     interpret)
+def _fused_bwd(tb, ello, ellc, interpret, res, g):
+    ko, mo, kc, mc, u = res
+    du = _pallas_bwd(ko, mo, kc, mc, u, g.astype(jnp.float32), tb,
+                     ello, ellc, interpret)
     f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-    return f0(ko), f0(kc), f0(mk), du
+    return f0(ko), f0(mo), f0(kc), f0(mc), du
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -206,31 +236,42 @@ def _default_interpret() -> bool:
     return jax.default_backend() not in ("tpu",)
 
 
-def fused_key_hidden_sum(kown: jax.Array, kcross: jax.Array,
-                         mask: jax.Array, u_ext: jax.Array,
-                         tb: int = 8,
+def _pad_flatten(a, tb, bp, fill=0):
+    """Pad L so the flattened (TB, L) lane block is 128-aligned, pad B to
+    the program tile, then flatten (B, L) -> lanes: every kernel operand
+    stays lane-dense (the kernel splits set boundaries back out on
+    sublanes post-matmul). Padded slots are masked -> contribute 0."""
+    *lead, b, ell = a.shape
+    step = 128 // math.gcd(tb, 128)
+    ellp = -(-ell // step) * step
+    if bp != b or ellp != ell:
+        pad = [(0, 0)] * len(lead) + [(0, bp - b), (0, ellp - ell)]
+        a = jnp.pad(a, pad, constant_values=fill)
+    return a.reshape(*lead, bp * ellp), ellp
+
+
+def fused_key_hidden_sum(kown: jax.Array, mask_own: jax.Array,
+                         kcross: jax.Array, mask_cross: jax.Array,
+                         u_ext: jax.Array, tb: int = 8,
                          interpret: bool | None = None) -> jax.Array:
     """Masked set-sum of both sides' hidden activations -> [Q, B, H] f32.
 
-    kown/kcross: uint32 [Q, B, L] packed lo keys (anchor / cross side),
-    mask: bool [Q, B, L], u_ext: float32 [num_bits + 2, H] =
+    kown [Q, B, Lo]: uint32 packed lo keys, mask_own [Q, B, Lo] bool.
+    kcross [B, Lc]: ONE shared uint32 cross plane in merged-sort order
+    (join.py want_sorted; Lc = 2L) — it holds every endpoint's matches at
+    disjoint positions, selected per endpoint by mask_cross [Q, B, Lc].
+    Set sums are order-invariant, so the un-sort pass this replaces is
+    dead code, and the shared plane's hidden activations are computed
+    once for all Q endpoints. u_ext: float32 [num_bits + 2, H] =
     concat(E @ W1, [-1e9 row], [b1 row]) — see key_expand_matrix.
     Pads B to the program tile internally (padded sets are masked out)."""
     if interpret is None:
         interpret = _default_interpret()
-    q, b, ell = kown.shape
+    q, b, _ = kown.shape
     bp = -(-b // tb) * tb
-    # the flattened (TB, L) lane block must be a multiple of 128 lanes
-    step = 128 // math.gcd(tb, 128)
-    ellp = -(-ell // step) * step
-    mk = mask.astype(jnp.int32)
-    if bp != b or ellp != ell:
-        pad = [(0, 0), (0, bp - b), (0, ellp - ell)]
-        kown = jnp.pad(kown, pad)
-        kcross = jnp.pad(kcross, pad)
-        mk = jnp.pad(mk, pad)   # padded slots are masked -> contribute 0
-    # flatten (B, L) -> lanes: every kernel operand stays lane-dense (the
-    # kernel splits set boundaries back out on sublanes post-matmul)
-    out = _fused(kown.reshape(q, bp * ellp), kcross.reshape(q, bp * ellp),
-                 mk.reshape(q, bp * ellp), u_ext, tb, ellp, interpret)
+    ko, ello = _pad_flatten(kown, tb, bp)
+    mo, _ = _pad_flatten(mask_own.astype(jnp.int32), tb, bp)
+    kc, ellc = _pad_flatten(kcross[None], tb, bp)    # [1, B*Lc]
+    mc, _ = _pad_flatten(mask_cross.astype(jnp.int32), tb, bp)
+    out = _fused(ko, mo, kc, mc, u_ext, tb, ello, ellc, interpret)
     return out[:, :b]

@@ -47,14 +47,19 @@ def _u_ext(w1, b1):
         axis=0)
 
 
-def _ref_sums(kown, kcross, mask, w1, b1):
-    """XLA reference: unpack -> hidden -> masked set sum over both sides."""
-    zeros = jnp.zeros_like(kown)
-    feats_own = unpack_key_features(zeros, kown, NW, NS)
-    feats_cross = unpack_key_features(zeros, kcross, NW, NS)
-    h = (jnp.maximum(feats_own @ w1 + b1, 0.0)
-         + jnp.maximum(feats_cross @ w1 + b1, 0.0))
-    return (h * mask[..., None].astype(h.dtype)).sum(axis=-2)
+def _hid(k, w1, b1):
+    feats = unpack_key_features(jnp.zeros_like(k), k, NW, NS)
+    return jnp.maximum(feats @ w1 + b1, 0.0)
+
+
+def _ref_sums(kown, mask_own, kcross, mask_cross, w1, b1):
+    """XLA reference: own side masked per q + shared cross plane [B, Lc]
+    selected by the per-q cross mask."""
+    ho = _hid(kown, w1, b1)                          # [Q, B, Lo, H]
+    hc = _hid(kcross, w1, b1)                        # [B, Lc, H]
+    so = (ho * mask_own[..., None].astype(ho.dtype)).sum(axis=-2)
+    sc = (hc[None] * mask_cross[..., None].astype(hc.dtype)).sum(axis=-2)
+    return so + sc
 
 
 def test_expand_matrix_matches_unpack():
@@ -68,39 +73,40 @@ def test_expand_matrix_matches_unpack():
     np.testing.assert_allclose(via_e, np.asarray(feats), rtol=1e-6)
 
 
-def test_fused_forward_matches_reference():
-    rng = np.random.default_rng(1)
-    # deliberately unaligned B and odd L to exercise internal padding
-    Q, B, L, H = 2, 11, 19, 16
+def _rand_case(rng, Q, B, L, Lc, H):
     kown = jnp.asarray(_rand_keys(rng, (Q, B, L)))
-    kcross = jnp.asarray(_rand_keys(rng, (Q, B, L)))
+    kcross = jnp.asarray(_rand_keys(rng, (B, Lc)))
     mask = jnp.asarray(rng.random((Q, B, L)) < 0.7)
+    # per-q disjoint selections of the shared plane, like tag-split rows
+    pick = rng.integers(0, Q + 1, size=(B, Lc))      # Q = unselected
+    mc = jnp.asarray(np.stack([pick == qi for qi in range(Q)]))
     w1 = jnp.asarray(rng.normal(size=(NS + 1, H)).astype(np.float32))
     b1 = jnp.asarray(rng.normal(size=(H,)).astype(np.float32))
+    return kown, mask, kcross, mc, w1, b1
 
-    got = fused_key_hidden_sum(kown, kcross, mask, _u_ext(w1, b1),
+
+def test_fused_forward_matches_reference():
+    rng = np.random.default_rng(1)
+    # deliberately unaligned B and odd widths to exercise padding
+    kown, mask, kcross, mc, w1, b1 = _rand_case(rng, 2, 11, 19, 38, 16)
+    got = fused_key_hidden_sum(kown, mask, kcross, mc, _u_ext(w1, b1),
                                interpret=True)
-    want = _ref_sums(kown, kcross, mask, w1, b1)
+    want = _ref_sums(kown, mask, kcross, mc, w1, b1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
 
 
 def test_fused_grads_match_reference():
     rng = np.random.default_rng(2)
-    Q, B, L, H = 2, 8, 9, 8
-    kown = jnp.asarray(_rand_keys(rng, (Q, B, L)))
-    kcross = jnp.asarray(_rand_keys(rng, (Q, B, L)))
-    mask = jnp.asarray(rng.random((Q, B, L)) < 0.6)
-    w1 = jnp.asarray(rng.normal(size=(NS + 1, H)).astype(np.float32))
-    b1 = jnp.asarray(rng.normal(size=(H,)).astype(np.float32))
-    g = jnp.asarray(rng.normal(size=(Q, B, H)).astype(np.float32))
+    kown, mask, kcross, mc, w1, b1 = _rand_case(rng, 2, 8, 9, 18, 8)
+    g = jnp.asarray(rng.normal(size=(2, 8, 8)).astype(np.float32))
 
     def loss_f(w, b):
-        return (fused_key_hidden_sum(kown, kcross, mask, _u_ext(w, b),
+        return (fused_key_hidden_sum(kown, mask, kcross, mc, _u_ext(w, b),
                                      interpret=True) * g).sum()
 
     def loss_r(w, b):
-        return (_ref_sums(kown, kcross, mask, w, b) * g).sum()
+        return (_ref_sums(kown, mask, kcross, mc, w, b) * g).sum()
 
     gf = jax.grad(loss_f, argnums=(0, 1))(w1, b1)
     gr = jax.grad(loss_r, argnums=(0, 1))(w1, b1)
@@ -112,13 +118,10 @@ def test_fused_grads_match_reference():
 
 def test_all_masked_set_is_zero():
     rng = np.random.default_rng(3)
-    Q, B, L, H = 2, 8, 5, 8
-    kown = jnp.asarray(_rand_keys(rng, (Q, B, L)))
-    kcross = jnp.asarray(_rand_keys(rng, (Q, B, L)))
-    mask = jnp.zeros((Q, B, L), bool).at[:, 1:].set(True)
-    w1 = jnp.asarray(rng.normal(size=(NS + 1, H)).astype(np.float32))
-    b1 = jnp.asarray(rng.normal(size=(H,)).astype(np.float32))
-    got = fused_key_hidden_sum(kown, kcross, mask, _u_ext(w1, b1),
+    kown, _, kcross, mc, w1, b1 = _rand_case(rng, 2, 8, 5, 10, 8)
+    mask = jnp.zeros((2, 8, 5), bool).at[:, 1:].set(True)
+    mc = mc.at[:, 0].set(False)      # set 0: nothing selected anywhere
+    got = fused_key_hidden_sum(kown, mask, kcross, mc, _u_ext(w1, b1),
                                interpret=True)
     np.testing.assert_allclose(np.asarray(got)[:, 0], 0.0, atol=1e-6)
 
