@@ -142,20 +142,22 @@ def _cross_lookup_bidir_multi(nodes_u, nodes_v, pays_u, pays_v,
     """
     B, L = nodes_u.shape
     assert len(pays_u) == len(pays_v)
-    zeros = [jnp.zeros((B, L), p.dtype) for p in pays_u]
     vals = jnp.concatenate([nodes_v, nodes_u], axis=1)       # [B, 2L]
     tag = jnp.concatenate([
         jnp.zeros((B, L), jnp.uint32), jnp.ones((B, L), jnp.uint32)],
         axis=1)
     packed = (vals.astype(jnp.uint32) << 1) | tag
-    mu = [jnp.concatenate([z, p], axis=1)
-          for p, z in zip(pays_u, zeros)]
-    mv = [jnp.concatenate([p, z], axis=1)
-          for p, z in zip(pays_v, zeros)]
-    sorted_ops = jax.lax.sort((packed, *mu, *mv), num_keys=1)
+    # ONE payload operand per payload PAIR: the u and v payloads occupy
+    # disjoint halves pre-sort, and after the merge each u slot reads its
+    # LEFT neighbor (a v copy when hit) while each v slot reads its RIGHT
+    # neighbor (a u copy when hit) — the tag disambiguates, so nothing is
+    # lost by sharing the operand. Sort cost scales with operand count:
+    # this makes the lo-only merge a 2-operand sort.
+    mp = [jnp.concatenate([pv, pu], axis=1)
+          for pu, pv in zip(pays_u, pays_v)]
+    sorted_ops = jax.lax.sort((packed, *mp), num_keys=1)
     spk = sorted_ops[0]
-    su = sorted_ops[1:1 + len(mu)]
-    sv = sorted_ops[1 + len(mu):]
+    sp = sorted_ops[1:]
     snode = (spk >> 1).astype(jnp.int32)
     st = spk & 1
     # u slot (tag 1) matches when its left neighbor is the v copy
@@ -164,14 +166,14 @@ def _cross_lookup_bidir_multi(nodes_u, nodes_v, pays_u, pays_v,
         (snode[:, 1:] == snode[:, :-1]) & (st[:, 1:] == 1)
         & (st[:, :-1] == 0) & (snode[:, 1:] != INT32_MAX)], axis=1)
     left = lambda x: jnp.concatenate([x[:, :1] * 0, x[:, :-1]], axis=1)
-    cu = [jnp.where(hit_u, left(p), 0) for p in sv]
+    cu = [jnp.where(hit_u, left(p), 0) for p in sp]
     # v slot (tag 0) matches when its right neighbor is the u copy
     hit_v = jnp.concatenate([
         (snode[:, :-1] == snode[:, 1:]) & (st[:, :-1] == 0)
         & (st[:, 1:] == 1) & (snode[:, :-1] != INT32_MAX),
         jnp.zeros((B, 1), bool)], axis=1)
     right = lambda x: jnp.concatenate([x[:, 1:], x[:, :1] * 0], axis=1)
-    cv = [jnp.where(hit_v, right(p), 0) for p in su]
+    cv = [jnp.where(hit_v, right(p), 0) for p in sp]
     # un-sort: original layout == (tag, node) ascending, rebuilt from spk
     key2 = (st << 31) | (spk >> 1)
     out = jax.lax.sort((key2, *cu, *cv), num_keys=1)
