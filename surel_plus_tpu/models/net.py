@@ -32,7 +32,7 @@ from surel_plus_tpu.ops.join import JoinedBatch
 from surel_plus_tpu.ops.pallas.hidden_sum_kernel import (
     NEG,
     fused_key_hidden_sum,
-    key_expand_matrix,
+    u_core_rows,
 )
 
 
@@ -105,18 +105,20 @@ class Net(nn.Module):
             #   sum_l mask[l] * (relu(f(kown[l]) W1 + b1)
             #                  + relu(f(kcross[l]) W1 + b1))
             # from the PACKED keys — unpack + first matmul collapse into
-            # bits(k) @ (E @ W1), nothing row-sized touches HBM, and the
-            # backward recomputes activations from the keys.
+            # fields(k)^T @ U with U = permuted/scaled W1 rows, nothing
+            # row-sized touches HBM, and the backward recomputes
+            # activations from the keys.
             nw, ns = self.key_layout
             w1, b1 = pe.hidden_raw(ns + 1)
-            e = jnp.asarray(key_expand_matrix(nw, ns))     # [NB, ncol]
-            u = e @ w1.astype(jnp.float32)                 # [NB, h]
+            u = u_core_rows(w1, nw, ns)                    # [ncol, h]
+            # kernel compute stays f32: a bf16 variant measured no
+            # faster (the z materialization dominates and stays f32)
             u_ext = jnp.concatenate(
                 [u, jnp.full((1, self.hidden_dim), NEG, jnp.float32),
                  b1.astype(jnp.float32)[None]], axis=0)
             sums = fused_key_hidden_sum(
                 joined.kown, joined.mask, joined.kcross,
-                joined.kcross_mask, u_ext)
+                joined.kcross_mask, u_ext, int(nw).bit_length())
             cnt = jnp.maximum(joined.mask.sum(axis=-1), 1)  # [Q, B]
             mean = (sums / cnt[..., None].astype(jnp.float32)
                     ).astype(cdtype)                       # [Q, B, h]

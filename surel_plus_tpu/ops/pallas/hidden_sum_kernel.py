@@ -16,21 +16,21 @@ Pallas port of that dataflow measured 2.6x SLOWER than XLA
 (scripts/probe_fused_hidden.py, r2).
 
 This kernel never materializes either tensor and never touches a
-narrow-minor layout. The trick: every unpacked feature is LINEAR in the
-bits of the key, so
-
-    f(k) @ W1  ==  bits(k) @ (E @ W1)  ==  bits(k) @ U
-
-with E the constant [num_bits, ncol] bit-expansion matrix
-(E[start_j + i, j] = 2^i / num_walks). The kernel expands key bits in
-VMEM and feeds the MXU one [rows, NB] @ [NB, H] matmul per side; the
-bias rides as an always-one bit column (U row = b1) and the slot mask as
-an invalid-slot column (U row = -1e9, so masked slots relu to exactly 0
-with zero gradient). The custom-VJP backward recomputes bits from the
-keys (32x smaller than the activations) and contracts dU = bits^T @ dz
-on the MXU in the same pass; dW1 = E^T dU and db1 fall out of the
-wrapper's U construction by ordinary autodiff. Nothing row-sized ever
-reaches HBM.
+narrow-minor layout. It unpacks the ncol fields directly onto SUBLANES
+(row i = (k >> i*shift) & mask via one broadcast + iota — the lo-word
+layout's field starts are uniformly spaced) and feeds the MXU one
+[ncol+2, rows]^T @ [ncol+2, H] matmul per side; the bias rides as an
+always-one row (U row = b1) and the slot mask as an invalid-slot row
+(U row = -1e9, so masked slots relu to exactly 0 with zero gradient).
+The feature normalization and the reference's column order live in the
+U rows (u_core_rows), so dW1/db1 fall out of the wrapper's U
+construction by ordinary autodiff; the custom-VJP backward recomputes
+the activations from the keys (32x smaller) and contracts
+dU = fields @ dz on the MXU in the same pass. Nothing row-sized ever
+reaches HBM. (Rejected variants, measured on v5e: a bit-expansion
+[num_bits+2, rows] operand — same speed, more code; bf16 compute — no
+gain, the z materialization stays f32; MXU group-indicator matmuls for
+the own-side set sums — 30% slower than the VPU sublane tree.)
 
 Only valid for field layouts that fit the lo word (enc_field_layout
 total <= 32 bits — every published config); callers fall back to the
@@ -51,48 +51,54 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e9      # masked-slot logit offset (relu clamps to 0)
 
 
-def key_expand_matrix(num_walks: int, num_steps: int) -> np.ndarray:
-    """Constant E [num_bits, ncol] with f(k) == bits(k) @ E.
+def u_core_rows(w1: jax.Array, num_walks: int, num_steps: int) -> jax.Array:
+    """W1's rows permuted/scaled to match the kernel's field order.
 
-    bits(k)[i] = (k >> i) & 1 for i in 0..lead_bit; column 0 is the root
-    indicator (feature = root_bit, the num_walks normalization cancels),
-    columns 1..num_steps the landing counts / num_walks."""
+    The kernel extracts row i as field (k >> i*shift) & mask — i.e.
+    column num_steps-i of the encoding for i < num_steps, the root bit
+    for i == num_steps (uniform shifts, enc_field_layout pads only at
+    the 32-bit boundary, which a lo-word layout never reaches). The
+    1/num_walks feature normalization (main.py:174) rides on the weight
+    rows; the root column's normalization cancels."""
     from surel_plus_tpu.ops.walk import enc_field_layout
 
     shift, starts, lead_bit = enc_field_layout(num_walks, num_steps)
     if lead_bit >= 32:
-        raise ValueError("key_expand_matrix requires a lo-word layout")
-    e = np.zeros((lead_bit + 1, num_steps + 1), np.float32)
-    e[lead_bit, 0] = 1.0
-    for j in range(1, num_steps + 1):
-        for i in range(shift):
-            e[starts[j] + i, j] = float(1 << i) / num_walks
-    return e
+        raise ValueError("u_core_rows requires a lo-word layout")
+    assert lead_bit == num_steps * shift  # uniform spacing below bit 32
+    perm = list(range(num_steps, 0, -1))
+    return jnp.concatenate(
+        [w1[perm, :].astype(jnp.float32) / num_walks,
+         w1[0:1, :].astype(jnp.float32)], axis=0)
 
 
-def _bits_ext(kv, inv, nb):
-    """[nb+2, R] float32: key bits | invalid-slot | always-one, for a
-    lane-dense row-vector kv [R] (R = TB*L slots of one endpoint).
+def _fields_ext(kv, inv, shift, ncol):
+    """[ncol+2, R] float32: unpacked fields | invalid-slot | always-one,
+    for a lane-dense row-vector kv [R] (R = TB*L slots of one endpoint).
 
-    Bits land on SUBLANES via a broadcast + sublane-varying iota — the
-    layout Mosaic can build without any lane<->sublane relayout (a
-    [R, nb] orientation would need one, which Mosaic rejects)."""
+    Fields land on SUBLANES via a broadcast + sublane-varying iota-scaled
+    shift — the layout Mosaic can build without any lane<->sublane
+    relayout (a [R, ncol] orientation would need one, which Mosaic
+    rejects). Row i holds (k >> i*shift) & (2^shift - 1) for i < ncol-1
+    and the root bit (k >> (ncol-1)*shift) & 1 for the last row."""
     r = kv.shape[0]
-    kb = jnp.broadcast_to(kv[None, :], (nb, r))
-    shifts = jax.lax.broadcasted_iota(jnp.uint32, (nb, r), 0)
-    # Mosaic has no uint32->f32 cast; the 0/1 bits are exact via int32
-    bits = ((kb >> shifts) & jnp.uint32(1)).astype(
+    kb = jnp.broadcast_to(kv[None, :], (ncol, r))
+    ri = jax.lax.broadcasted_iota(jnp.uint32, (ncol, r), 0)
+    fm = jnp.where(ri == ncol - 1, jnp.uint32(1),
+                   jnp.uint32((1 << shift) - 1))
+    # Mosaic has no uint32->f32 cast; field values are exact via int32
+    fields = ((kb >> (ri * jnp.uint32(shift))) & fm).astype(
         jnp.int32).astype(jnp.float32)
     return jnp.concatenate(
-        [bits, inv[None, :], jnp.ones((1, r), jnp.float32)], axis=0)
+        [fields, inv[None, :], jnp.ones((1, r), jnp.float32)], axis=0)
 
 
 # contraction over the bit axis (sublanes of both operands): be^T @ u
 _CONTRACT_BITS = (((0,), (0,)), ((), ()))
 
 
-def _z_of(kv, inv, u, nbx):
-    be = _bits_ext(kv, inv, nbx - 2)
+def _z_of(kv, inv, u, nbx, shift):
+    be = _fields_ext(kv, inv, shift, nbx - 2)
     z = jax.lax.dot_general(
         be, u, dimension_numbers=_CONTRACT_BITS,
         preferred_element_type=jnp.float32)          # [TB*ell, H]
@@ -109,7 +115,8 @@ def _group_sel(mc, tb, ell):
     return sel.astype(jnp.float32)
 
 
-def _fwd_kernel(ko_ref, mo_ref, kc_ref, mc_ref, u_ref, out_ref):
+def _fwd_kernel(shift, ko_ref, mo_ref, kc_ref, mc_ref, u_ref,
+                out_ref):
     p = ko_ref.shape[0]
     nbx, h = u_ref.shape
     tb = out_ref.shape[1]
@@ -120,18 +127,20 @@ def _fwd_kernel(ko_ref, mo_ref, kc_ref, mc_ref, u_ref, out_ref):
     # matches disjointly, so its hidden activations are computed once and
     # the per-endpoint sums split out via masked group-sum matmuls (the
     # q-masks also zero the padding, so no NEG column is needed here)
-    _, zc = _z_of(kc_ref[0], jnp.zeros((tb * ellc,), jnp.float32), u, nbx)
+    _, zc = _z_of(kc_ref[0], jnp.zeros((tb * ellc,), jnp.float32), u, nbx,
+                  shift)
     rc = jnp.maximum(zc, 0.0)                        # [TB*ellc, H]
     for pi in range(p):
         _, z = _z_of(ko_ref[pi],
-                     1.0 - mo_ref[pi].astype(jnp.float32), u, nbx)
+                     1.0 - mo_ref[pi].astype(jnp.float32), u, nbx, shift)
         s = jnp.maximum(z, 0.0).reshape(tb, ello, h).sum(axis=1)
         sel = _group_sel(mc_ref[pi], tb, ellc)
         out_ref[pi] = s + jnp.dot(sel, rc,
                                   preferred_element_type=jnp.float32)
 
 
-def _bwd_kernel(ko_ref, mo_ref, kc_ref, mc_ref, u_ref, g_ref, du_ref):
+def _bwd_kernel(shift, ko_ref, mo_ref, kc_ref, mc_ref, u_ref, g_ref,
+                du_ref):
     i = pl.program_id(0)
     p = ko_ref.shape[0]
     nbx, h = u_ref.shape
@@ -140,14 +149,15 @@ def _bwd_kernel(ko_ref, mo_ref, kc_ref, mc_ref, u_ref, g_ref, du_ref):
     ello = ko_ref.shape[1] // tb
     ellc = kc_ref.shape[1] // tb
     bec, zc = _z_of(kc_ref[0], jnp.zeros((tb * ellc,), jnp.float32),
-                    u, nbx)
+                    u, nbx, shift)
     gc = None
     acc = None
     for pi in range(p):
         gb = jnp.broadcast_to(
             g_ref[pi][:, None, :], (tb, ello, h)).reshape(tb * ello, h)
         be, z = _z_of(ko_ref[pi],
-                      1.0 - mo_ref[pi].astype(jnp.float32), u, nbx)
+                      1.0 - mo_ref[pi].astype(jnp.float32), u, nbx,
+                      shift)
         dz = jnp.where(z > 0, gb, 0.0)
         dup = jnp.dot(be, dz, preferred_element_type=jnp.float32)
         acc = dup if acc is None else acc + dup
@@ -181,13 +191,13 @@ def _specs(p, tb, ello, ellc, nbx, h):
     return ins, out, dub, gin
 
 
-def _pallas_fwd(ko, mo, kc, mc, u, tb, ello, ellc, interpret):
+def _pallas_fwd(ko, mo, kc, mc, u, tb, ello, ellc, shift, interpret):
     p = ko.shape[0]
     b = ko.shape[1] // ello
     nbx, h = u.shape
     ins, out, _, _ = _specs(p, tb, ello, ellc, nbx, h)
     return pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, shift),
         grid=(b // tb,),
         in_specs=ins,
         out_specs=out,
@@ -196,13 +206,13 @@ def _pallas_fwd(ko, mo, kc, mc, u, tb, ello, ellc, interpret):
     )(ko, mo, kc, mc, u)
 
 
-def _pallas_bwd(ko, mo, kc, mc, u, g, tb, ello, ellc, interpret):
+def _pallas_bwd(ko, mo, kc, mc, u, g, tb, ello, ellc, shift, interpret):
     p = ko.shape[0]
     b = ko.shape[1] // ello
     nbx, h = u.shape
     ins, _, dub, gin = _specs(p, tb, ello, ellc, nbx, h)
     return pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, shift),
         grid=(b // tb,),
         in_specs=ins + [gin],
         out_specs=dub,
@@ -211,20 +221,22 @@ def _pallas_bwd(ko, mo, kc, mc, u, g, tb, ello, ellc, interpret):
     )(ko, mo, kc, mc, u, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _fused(ko, mo, kc, mc, u, tb, ello, ellc, interpret):
-    return _pallas_fwd(ko, mo, kc, mc, u, tb, ello, ellc, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _fused(ko, mo, kc, mc, u, tb, ello, ellc, shift, interpret):
+    return _pallas_fwd(ko, mo, kc, mc, u, tb, ello, ellc, shift,
+                       interpret)
 
 
-def _fused_fwd(ko, mo, kc, mc, u, tb, ello, ellc, interpret):
-    return (_pallas_fwd(ko, mo, kc, mc, u, tb, ello, ellc, interpret),
+def _fused_fwd(ko, mo, kc, mc, u, tb, ello, ellc, shift, interpret):
+    return (_pallas_fwd(ko, mo, kc, mc, u, tb, ello, ellc, shift,
+                        interpret),
             (ko, mo, kc, mc, u))
 
 
-def _fused_bwd(tb, ello, ellc, interpret, res, g):
+def _fused_bwd(tb, ello, ellc, shift, interpret, res, g):
     ko, mo, kc, mc, u = res
     du = _pallas_bwd(ko, mo, kc, mc, u, g.astype(jnp.float32), tb,
-                     ello, ellc, interpret)
+                     ello, ellc, shift, interpret)
     f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
     return f0(ko), f0(mo), f0(kc), f0(mc), du
 
@@ -252,7 +264,7 @@ def _pad_flatten(a, tb, bp, fill=0):
 
 def fused_key_hidden_sum(kown: jax.Array, mask_own: jax.Array,
                          kcross: jax.Array, mask_cross: jax.Array,
-                         u_ext: jax.Array, tb: int = 8,
+                         u_ext: jax.Array, shift: int, tb: int = 8,
                          interpret: bool | None = None) -> jax.Array:
     """Masked set-sum of both sides' hidden activations -> [Q, B, H] f32.
 
@@ -263,7 +275,7 @@ def fused_key_hidden_sum(kown: jax.Array, mask_own: jax.Array,
     Set sums are order-invariant, so the un-sort pass this replaces is
     dead code, and the shared plane's hidden activations are computed
     once for all Q endpoints. u_ext: float32 [num_bits + 2, H] =
-    concat(E @ W1, [-1e9 row], [b1 row]) — see key_expand_matrix.
+    concat(u_core_rows(W1), [-1e9 row], [b1 row]).
     Pads B to the program tile internally (padded sets are masked out)."""
     if interpret is None:
         interpret = _default_interpret()
@@ -273,5 +285,5 @@ def fused_key_hidden_sum(kown: jax.Array, mask_own: jax.Array,
     mo, _ = _pad_flatten(mask_own.astype(jnp.int32), tb, bp)
     kc, ellc = _pad_flatten(kcross[None], tb, bp)    # [1, B*Lc]
     mc, _ = _pad_flatten(mask_cross.astype(jnp.int32), tb, bp)
-    out = _fused(ko, mo, kc, mc, u_ext, tb, ello, ellc, interpret)
+    out = _fused(ko, mo, kc, mc, u_ext, tb, ello, ellc, shift, interpret)
     return out[:, :b]

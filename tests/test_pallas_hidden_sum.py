@@ -1,6 +1,6 @@
 """Fused key-unpack+hidden+set-sum Pallas kernel (interpret mode on CPU).
 
-Covers key_expand_matrix (bits(k) @ E == unpack(k)), the raw kernel
+Covers u_core_rows (fields(k)^T @ U == unpack(k) @ W1), the raw kernel
 forward + custom-VJP gradients vs the XLA reference, and the integration
 into Net's mean path over a real packed-key join (reference
 model.py:67,78)."""
@@ -19,7 +19,7 @@ from surel_plus_tpu.ops.join import (
 from surel_plus_tpu.ops.pallas.hidden_sum_kernel import (
     NEG,
     fused_key_hidden_sum,
-    key_expand_matrix,
+    u_core_rows,
 )
 from surel_plus_tpu.ops.sampler import sample_gsets_device_keys
 
@@ -40,10 +40,13 @@ def _rand_keys(rng, shape):
     return k
 
 
+SHIFT = int(NW).bit_length()
+
+
 def _u_ext(w1, b1):
-    e = jnp.asarray(key_expand_matrix(NW, NS))
     return jnp.concatenate(
-        [e @ w1, jnp.full((1, w1.shape[1]), NEG, jnp.float32), b1[None]],
+        [u_core_rows(w1, NW, NS),
+         jnp.full((1, w1.shape[1]), NEG, jnp.float32), b1[None]],
         axis=0)
 
 
@@ -62,15 +65,20 @@ def _ref_sums(kown, mask_own, kcross, mask_cross, w1, b1):
     return so + sc
 
 
-def test_expand_matrix_matches_unpack():
+def test_u_core_rows_matches_unpack():
+    """fields(k)^T @ u_core_rows(W1) == unpack(k) @ W1 exactly."""
     rng = np.random.default_rng(0)
     k = _rand_keys(rng, (5, 7))
+    w1 = jnp.asarray(rng.normal(size=(NS + 1, 6)).astype(np.float32))
     feats = unpack_key_features(jnp.zeros((5, 7), jnp.uint32),
                                 jnp.asarray(k), NW, NS)
-    nb = key_expand_matrix(NW, NS).shape[0]
-    bits = ((k[..., None] >> np.arange(nb, dtype=np.uint32)) & 1)
-    via_e = bits.astype(np.float32) @ key_expand_matrix(NW, NS)
-    np.testing.assert_allclose(via_e, np.asarray(feats), rtol=1e-6)
+    want = np.asarray(feats @ w1)
+    mask_f = (1 << SHIFT) - 1
+    fields = np.stack(
+        [(k >> np.uint32(i * SHIFT)) & (1 if i == NS else mask_f)
+         for i in range(NS + 1)], axis=-1).astype(np.float32)
+    got = fields @ np.asarray(u_core_rows(w1, NW, NS))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
 def _rand_case(rng, Q, B, L, Lc, H):
@@ -90,7 +98,7 @@ def test_fused_forward_matches_reference():
     # deliberately unaligned B and odd widths to exercise padding
     kown, mask, kcross, mc, w1, b1 = _rand_case(rng, 2, 11, 19, 38, 16)
     got = fused_key_hidden_sum(kown, mask, kcross, mc, _u_ext(w1, b1),
-                               interpret=True)
+                               SHIFT, interpret=True)
     want = _ref_sums(kown, mask, kcross, mc, w1, b1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
@@ -103,7 +111,7 @@ def test_fused_grads_match_reference():
 
     def loss_f(w, b):
         return (fused_key_hidden_sum(kown, mask, kcross, mc, _u_ext(w, b),
-                                     interpret=True) * g).sum()
+                                     SHIFT, interpret=True) * g).sum()
 
     def loss_r(w, b):
         return (_ref_sums(kown, mask, kcross, mc, w, b) * g).sum()
@@ -122,7 +130,7 @@ def test_all_masked_set_is_zero():
     mask = jnp.zeros((2, 8, 5), bool).at[:, 1:].set(True)
     mc = mc.at[:, 0].set(False)      # set 0: nothing selected anywhere
     got = fused_key_hidden_sum(kown, mask, kcross, mc, _u_ext(w1, b1),
-                               interpret=True)
+                               SHIFT, interpret=True)
     np.testing.assert_allclose(np.asarray(got)[:, 0], 0.0, atol=1e-6)
 
 
