@@ -153,11 +153,22 @@ def _cross_lookup_bidir_multi(nodes_u, nodes_v, pays_u, pays_v,
     # neighbor (a u copy when hit) — the tag disambiguates, so nothing is
     # lost by sharing the operand. Sort cost scales with operand count:
     # this makes the lo-only merge a 2-operand sort.
-    mp = [jnp.concatenate([pv, pu], axis=1)
-          for pu, pv in zip(pays_u, pays_v)]
-    sorted_ops = jax.lax.sort((packed, *mp), num_keys=1)
-    spk = sorted_ops[0]
-    sp = sorted_ops[1:]
+    from surel_plus_tpu.ops.pallas.bitonic_merge import (
+        bitonic_enabled, bitonic_merge_pairs)
+
+    if len(pays_u) == 1 and bitonic_enabled():
+        # both halves are already sorted: the Pallas bitonic MERGE is
+        # log2(n) compare-exchange stages vs lax.sort's ~log^2(n)/2
+        spk, sp0 = bitonic_merge_pairs(
+            (nodes_v.astype(jnp.uint32) << 1), pays_v[0],
+            (nodes_u.astype(jnp.uint32) << 1) | 1, pays_u[0])
+        sp = (sp0,)
+    else:
+        mp = [jnp.concatenate([pv, pu], axis=1)
+              for pu, pv in zip(pays_u, pays_v)]
+        sorted_ops = jax.lax.sort((packed, *mp), num_keys=1)
+        spk = sorted_ops[0]
+        sp = sorted_ops[1:]
     snode = (spk >> 1).astype(jnp.int32)
     st = spk & 1
     # u slot (tag 1) matches when its left neighbor is the v copy
