@@ -9,11 +9,18 @@ model_horder.py:53) that its forward never uses; we omit it.
 
 from __future__ import annotations
 
+from typing import Optional, Tuple
+
 import flax.linen as nn
 import jax
 
 from surel_plus_tpu.models.layers import MergeLayer, MLP2, masked_mean
 from surel_plus_tpu.ops.join import JoinedBatch
+from surel_plus_tpu.ops.pallas.hidden_sum_kernel import (
+    NEG,
+    fused_key_hidden_sum,
+    u_core_rows,
+)
 
 
 class HONet(nn.Module):
@@ -22,6 +29,11 @@ class HONet(nn.Module):
     out_dim: int = 1
     x_dim: int = 0
     dropout: float = 0.1
+    # Pallas fused key-unpack+hidden+set-sum over the hjoin's four
+    # groups (same kernel as models/net.py — the two merges' cross
+    # planes ride side by side in one [B, 4L] plane). None = auto.
+    fused_hidden: Optional[bool] = None
+    key_layout: Optional[Tuple[int, int]] = None
 
     @nn.compact
     def __call__(self, enc_table: jax.Array, joined: JoinedBatch,
@@ -30,17 +42,37 @@ class HONet(nn.Module):
         import jax.numpy as jnp
 
         pe = MLP2(self.hidden_dim, self.hidden_dim, name="pe_embedding")
-        # aggregate-before-project (see models/net.py): mean-pool the
-        # hidden activations, project the [4, B, h] aggregate once
-        if jnp.issubdtype(joined.eidx.dtype, jnp.integer):
-            htable = pe.hidden(enc_table)
-            hpair = htable[joined.eidx]    # [4, B, L, 2, h]
+        fuse = self.fused_hidden
+        if fuse is None:
+            fuse = jax.default_backend() == "tpu"
+        if (fuse and joined.kown is not None
+                and joined.kcross_mask is not None
+                and self.key_layout is not None):
+            nw, ns = self.key_layout
+            w1, b1 = pe.hidden_raw(ns + 1)
+            u = u_core_rows(w1, nw, ns)
+            u_ext = jnp.concatenate(
+                [u, jnp.full((1, self.hidden_dim), NEG, jnp.float32),
+                 b1.astype(jnp.float32)[None]], axis=0)
+            sums = fused_key_hidden_sum(
+                joined.kown, joined.mask, joined.kcross,
+                joined.kcross_mask, u_ext, int(nw).bit_length())
+            cnt = jnp.maximum(joined.mask.sum(axis=-1), 1)
+            mean = sums / cnt[..., None].astype(jnp.float32)
+            b2v = pe.project(jnp.zeros((1, self.hidden_dim), jnp.float32))
+            agg = pe.project(mean) + b2v                    # [4, B, h]
         else:
-            # packed-key path: unpacked feature pairs [4, B, L, 2, ncol]
-            hpair = pe.hidden(joined.eidx)
-        hsum = hpair.sum(axis=-2)          # [4, B, L, h]
-        b2v = pe.project(jnp.zeros((1, self.hidden_dim), hsum.dtype))
-        agg = pe.project(masked_mean(hsum, joined.mask)) + b2v  # [4, B, h]
+            # aggregate-before-project (see models/net.py): mean-pool
+            # the hidden activations, project the [4, B, h] aggregate
+            if jnp.issubdtype(joined.eidx.dtype, jnp.integer):
+                htable = pe.hidden(enc_table)
+                hpair = htable[joined.eidx]    # [4, B, L, 2, h]
+            else:
+                # packed-key path: feature pairs [4, B, L, 2, ncol]
+                hpair = pe.hidden(joined.eidx)
+            hsum = hpair.sum(axis=-2)          # [4, B, L, h]
+            b2v = pe.project(jnp.zeros((1, self.hidden_dim), hsum.dtype))
+            agg = pe.project(masked_mean(hsum, joined.mask)) + b2v
         score = MergeLayer(self.hidden_dim, self.out_dim, self.dropout,
                            name="affinity_score")(
             [agg[0], agg[1], agg[2], agg[3]], train=train)

@@ -353,12 +353,16 @@ def make_keys_hjoin(num_walks: int, num_steps: int):
         # the four anchor/cross groups (u|w, w|u, v|w, w|v) are two
         # bidirectional pairs — one fused merge sort each
         khi_list, klo_list, masks = [], [], []
+        planes, pmasks = [], []
         for a, b in ((0, 2), (1, 2)):
             if lo_only:
-                (ca_l,), (cb_l,) = _cross_lookup_bidir_multi(
-                    rn[a], rn[b], (rl[a],), (rl[b],))
+                ((ca_l,), (cb_l,), (sca,), sa_mask, (scb,),
+                 sb_mask) = _cross_lookup_bidir_multi(
+                    rn[a], rn[b], (rl[a],), (rl[b],), want_sorted=True)
                 ca_h = jnp.zeros_like(ca_l)
                 cb_h = jnp.zeros_like(cb_l)
+                planes.append(sca + scb)   # disjoint tag-split positions
+                pmasks.append((sa_mask, sb_mask))
             else:
                 ca_h, ca_l, cb_h, cb_l = _cross_lookup_bidir(
                     rn[a], rn[b], rh[a], rl[a], rh[b], rl[b])
@@ -372,8 +376,23 @@ def make_keys_hjoin(num_walks: int, num_steps: int):
                                     jnp.stack(klo_list),
                                     num_walks, num_steps)
         sizes_out = jnp.stack([rs[0], rs[2], rs[1], rs[2]])
+        kown = kcross = kcross_mask = None
+        if lo_only:
+            # fused-kernel planes: ONE [B, 4L] cross plane (the two
+            # merges' planes side by side) selected per group by masks
+            # that cover only the group's merge half (models/honet.py)
+            kown = jnp.stack([rl[0], rl[2], rl[1], rl[2]])
+            kcross = jnp.concatenate(planes, axis=1)
+            z = jnp.zeros_like(pmasks[0][0])
+            kcross_mask = jnp.stack([
+                jnp.concatenate([pmasks[0][0], z], axis=1),
+                jnp.concatenate([pmasks[0][1], z], axis=1),
+                jnp.concatenate([z, pmasks[1][0]], axis=1),
+                jnp.concatenate([z, pmasks[1][1]], axis=1),
+            ])
         return JoinedBatch(eidx=feats, mask=jnp.stack(masks),
-                           sizes=sizes_out)
+                           sizes=sizes_out, kown=kown, kcross=kcross,
+                           kcross_mask=kcross_mask)
 
     return join
 

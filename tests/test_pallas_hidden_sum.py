@@ -185,3 +185,36 @@ def test_trainer_from_keys_sets_key_layout():
     model = Net(input_dim=NS + 1, hidden_dim=16, aggrs="mean")
     tr = trainer_from_keys(model, spgk, TrainConfig(batch_size=8))
     assert tr.train_model.key_layout == (NW, NS)
+
+
+def test_honet_fused_matches_unfused_on_real_hjoin():
+    """4-group hyperedge join: fused HONet == XLA HONet (logits + grads)."""
+    from surel_plus_tpu.models import HONet
+    from surel_plus_tpu.ops.join import make_keys_hjoin
+
+    g = rmat_graph(150, 800, seed=8)
+    spgk = sample_gsets_device_keys(
+        g, np.arange(150, dtype=np.int32), num_walks=NW, num_steps=NS,
+        seed=2, block_size=64)
+    rng = np.random.default_rng(5)
+    hedges = jnp.asarray(
+        rng.integers(0, 150, size=(3, 16)).astype(np.int32))
+    joined = make_keys_hjoin(NW, NS)(spgk.nodes, spgk.khi, spgk.klo,
+                                     spgk.sizes, hedges)
+    assert joined.kown is not None and joined.kcross.shape[-1] \
+        == 2 * joined.kown.shape[-1] * 2
+
+    kw = dict(input_dim=NS + 1, hidden_dim=24, key_layout=(NW, NS))
+    m0 = HONet(fused_hidden=False, **kw)
+    m1 = HONet(fused_hidden=True, **kw)
+    enc = jnp.zeros((1, 1), jnp.float32)
+    p = m0.init(jax.random.PRNGKey(0), enc, joined)
+    l0 = m0.apply(p, enc, joined)
+    l1 = m1.apply(p, enc, joined)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                               rtol=1e-5, atol=1e-5)
+    g0 = jax.grad(lambda q: (m0.apply(q, enc, joined) ** 2).sum())(p)
+    g1 = jax.grad(lambda q: (m1.apply(q, enc, joined) ** 2).sum())(p)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
