@@ -57,6 +57,10 @@ class JoinedBatch(NamedTuple):
     kown: Optional[jax.Array] = None
     kcross: Optional[jax.Array] = None
     kcross_mask: Optional[jax.Array] = None
+    # slot-ALIGNED cross keys [Q, B, L] (uint32) for per-slot fused
+    # consumers (attn/lstm, models/net.py) — unlike kcross these come
+    # from the un-sorted side, so using them keeps the un-sort alive.
+    kcross_al: Optional[jax.Array] = None
 
 
 def _cross_lookup_multi(nodes_a: jax.Array, nodes_b: jax.Array,
@@ -325,15 +329,17 @@ def join_gathered_keys(rows_nodes, rows_hi, rows_lo, rows_sizes,
     ])
     feats = unpack_key_features(khi_pairs, klo_pairs, num_walks, num_steps)
     mask = rows_nodes != jnp.int32(INT32_MAX)
-    kown = kcross = kcross_mask = None
+    kown = kcross = kcross_mask = kcross_al = None
     if lo_only and impl != "pallas":
         kown = jnp.stack([rows_lo[0], rows_lo[1]])
         # ONE shared merged-sort plane: each direction's matches occupy
         # disjoint (tag-separated) positions, selected by the per-q mask
         kcross = scu + scv                           # [B, 2L]
         kcross_mask = jnp.stack([su_mask, sv_mask])
+        kcross_al = jnp.stack([cross_lo_u, cross_lo_v])
     return JoinedBatch(eidx=feats, mask=mask, sizes=rows_sizes,
-                       kown=kown, kcross=kcross, kcross_mask=kcross_mask)
+                       kown=kown, kcross=kcross, kcross_mask=kcross_mask,
+                       kcross_al=kcross_al)
 
 
 def make_keys_hjoin(num_walks: int, num_steps: int):

@@ -287,3 +287,130 @@ def fused_key_hidden_sum(kown: jax.Array, mask_own: jax.Array,
     mc, _ = _pad_flatten(mask_cross.astype(jnp.int32), tb, bp)
     out = _fused(ko, mo, kc, mc, u_ext, tb, ello, ellc, shift, interpret)
     return out[:, :b]
+
+
+# ---------------------------------------------------------------------------
+# Per-slot variant: emit the PAIR-SUMMED hidden activations [Q, B, L, H]
+# instead of set sums — the attn/lstm aggregators need per-slot rows
+# (models/net.py). Same fields-on-sublanes trick and custom VJP; the
+# cross side must be slot-ALIGNED (JoinedBatch.kcross_al), and no mask
+# row is needed: downstream aggregators mask invalid slots themselves,
+# and an absent partner's 0-key row contributes relu(b1) exactly like
+# the reference's zero encoding row (train.py:33-37).
+
+def _slots_fwd_kernel(shift, ko_ref, kc_ref, u_ref, out_ref):
+    p, tb, ell, h = out_ref.shape
+    nbx = u_ref.shape[0]
+    u = u_ref[:]
+    zeros = jnp.zeros((tb * ell,), jnp.float32)
+    for pi in range(p):
+        acc = None
+        for k_ref in (ko_ref, kc_ref):
+            _, z = _z_of(k_ref[pi], zeros, u, nbx, shift)
+            r = jnp.maximum(z, 0.0)
+            acc = r if acc is None else acc + r
+        out_ref[pi] = acc.reshape(tb, ell, h)
+
+
+def _slots_bwd_kernel(shift, ko_ref, kc_ref, u_ref, g_ref, du_ref):
+    i = pl.program_id(0)
+    p, tb, ell, h = g_ref.shape
+    nbx = u_ref.shape[0]
+    u = u_ref[:]
+    zeros = jnp.zeros((tb * ell,), jnp.float32)
+    acc = None
+    for pi in range(p):
+        gf = g_ref[pi].reshape(tb * ell, h)
+        for k_ref in (ko_ref, kc_ref):
+            be, z = _z_of(k_ref[pi], zeros, u, nbx, shift)
+            dz = jnp.where(z > 0, gf, 0.0)
+            dup = jnp.dot(be, dz, preferred_element_type=jnp.float32)
+            acc = dup if acc is None else acc + dup
+
+    @pl.when(i == 0)
+    def _():
+        du_ref[:] = jnp.zeros_like(du_ref)
+
+    du_ref[:] += acc
+
+
+def _slots_specs(p, tb, ell, nbx, h):
+    blk = lambda shape, imap: pl.BlockSpec(shape, imap,
+                                           memory_space=pltpu.VMEM)
+    ins = [blk((p, tb * ell), lambda i: (0, i)),
+           blk((p, tb * ell), lambda i: (0, i)),
+           blk((nbx, h), lambda i: (0, 0))]
+    out = blk((p, tb, ell, h), lambda i: (0, i, 0, 0))
+    dub = blk((nbx, h), lambda i: (0, 0))
+    return ins, out, dub
+
+
+def _slots_pallas_fwd(ko, kc, u, tb, ell, shift, interpret):
+    p = ko.shape[0]
+    b = ko.shape[1] // ell
+    nbx, h = u.shape
+    ins, out, _ = _slots_specs(p, tb, ell, nbx, h)
+    return pl.pallas_call(
+        functools.partial(_slots_fwd_kernel, shift),
+        grid=(b // tb,),
+        in_specs=ins,
+        out_specs=out,
+        out_shape=jax.ShapeDtypeStruct((p, b, ell, h), jnp.float32),
+        interpret=interpret,
+    )(ko, kc, u)
+
+
+def _slots_pallas_bwd(ko, kc, u, g, tb, ell, shift, interpret):
+    p = ko.shape[0]
+    b = ko.shape[1] // ell
+    nbx, h = u.shape
+    ins, out, dub = _slots_specs(p, tb, ell, nbx, h)
+    return pl.pallas_call(
+        functools.partial(_slots_bwd_kernel, shift),
+        grid=(b // tb,),
+        in_specs=ins + [out],
+        out_specs=dub,
+        out_shape=jax.ShapeDtypeStruct((nbx, h), jnp.float32),
+        interpret=interpret,
+    )(ko, kc, u, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _fused_slots(ko, kc, u, tb, ell, shift, interpret):
+    return _slots_pallas_fwd(ko, kc, u, tb, ell, shift, interpret)
+
+
+def _fused_slots_fwd(ko, kc, u, tb, ell, shift, interpret):
+    return (_slots_pallas_fwd(ko, kc, u, tb, ell, shift, interpret),
+            (ko, kc, u))
+
+
+def _fused_slots_bwd(tb, ell, shift, interpret, res, g):
+    ko, kc, u = res
+    du = _slots_pallas_bwd(ko, kc, u, g.astype(jnp.float32), tb, ell,
+                           shift, interpret)
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return f0(ko), f0(kc), du
+
+
+_fused_slots.defvjp(_fused_slots_fwd, _fused_slots_bwd)
+
+
+def fused_key_hidden_slots(kown: jax.Array, kcross_al: jax.Array,
+                           u_ext: jax.Array, shift: int, tb: int = 8,
+                           interpret: bool | None = None) -> jax.Array:
+    """Pair-summed per-slot hidden activations -> [Q, B, L, H] float32.
+
+    kown/kcross_al: uint32 [Q, B, L] packed lo keys, slot-aligned.
+    u_ext: float32 [ncol + 2, H] = concat(u_core_rows(W1), [any row],
+    [b1 row]) — the same layout the set-sum wrapper uses; the mask row
+    multiplies a zero column here, so its value is irrelevant.
+    Invalid slots produce finite garbage the caller must mask."""
+    if interpret is None:
+        interpret = _default_interpret()
+    q, b, ell = kown.shape
+    bp = -(-b // tb) * tb
+    ko, ellp = _pad_flatten(kown, tb, bp)
+    kc, _ = _pad_flatten(kcross_al, tb, bp)
+    out = _fused_slots(ko, kc, u_ext, tb, ellp, shift, interpret)
+    return out[:, :b, :ell]

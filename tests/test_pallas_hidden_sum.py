@@ -218,3 +218,35 @@ def test_honet_fused_matches_unfused_on_real_hjoin():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_net_fused_slots_attn_lstm_match_unfused():
+    """Per-slot fused variant: attn and lstm aggregators agree with the
+    XLA path on logits and parameter gradients over a real join."""
+    g = rmat_graph(200, 1000, seed=9)
+    spgk = sample_gsets_device_keys(
+        g, np.arange(200, dtype=np.int32), num_walks=NW, num_steps=NS,
+        seed=1, block_size=64)
+    rng = np.random.default_rng(6)
+    edges = jnp.asarray(rng.integers(0, 200, size=(2, 12)).astype(np.int32))
+    joined = make_keys_join(NW, NS)(spgk.nodes, spgk.khi, spgk.klo,
+                                    spgk.sizes, edges)
+    assert joined.kcross_al is not None
+
+    for aggrs in ("attn", "lstm"):
+        kw = dict(input_dim=NS + 1, hidden_dim=16, aggrs=aggrs,
+                  dtype="float32", key_layout=(NW, NS))
+        m0 = Net(fused_hidden=False, **kw)
+        m1 = Net(fused_hidden=True, **kw)
+        enc = jnp.zeros((1, 1), jnp.float32)
+        p = m0.init(jax.random.PRNGKey(0), enc, joined)
+        l0 = m0.apply(p, enc, joined)
+        l1 = m1.apply(p, enc, joined)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   rtol=1e-5, atol=1e-5, err_msg=aggrs)
+        g0 = jax.grad(lambda q: (m0.apply(q, enc, joined) ** 2).sum())(p)
+        g1 = jax.grad(lambda q: (m1.apply(q, enc, joined) ** 2).sum())(p)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=aggrs)
