@@ -142,7 +142,8 @@ class LSTMAggregation(nn.Module):
     chunk: int = 32
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, mask: jax.Array, *,
+                 fast: bool = False) -> jax.Array:
         *batch_shape, L, h = x.shape
         H = self.hidden_dim
         xf = x.reshape((-1, L, h))
@@ -152,6 +153,16 @@ class LSTMAggregation(nn.Module):
         wi = self.param("wi", xavier_normal, (h, 4 * H))
         wh = self.param("wh", xavier_normal, (H, 4 * H))
         bh = self.param("bh", nn.initializers.zeros, (4 * H,))
+
+        if fast:
+            # inference path: VMEM-resident Pallas recurrence (forward
+            # only — ops/pallas/lstm_kernel.py); training uses the
+            # differentiable chunked-remat scan below
+            from surel_plus_tpu.ops.pallas.lstm_kernel import (
+                lstm_final_hidden)
+
+            hidden = lstm_final_hidden(xf, mf, wi, wh, bh)
+            return hidden.astype(x.dtype).reshape((*batch_shape, H))
 
         xproj = xf @ wi                     # [B, L, 4H] one MXU matmul
         carry0 = (jnp.zeros((B, H), xproj.dtype),

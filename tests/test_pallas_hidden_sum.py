@@ -235,18 +235,53 @@ def test_net_fused_slots_attn_lstm_match_unfused():
 
     for aggrs in ("attn", "lstm"):
         kw = dict(input_dim=NS + 1, hidden_dim=16, aggrs=aggrs,
-                  dtype="float32", key_layout=(NW, NS))
+                  dropout=0.0, dtype="float32", key_layout=(NW, NS))
         m0 = Net(fused_hidden=False, **kw)
         m1 = Net(fused_hidden=True, **kw)
         enc = jnp.zeros((1, 1), jnp.float32)
         p = m0.init(jax.random.PRNGKey(0), enc, joined)
+        # inference forward: lstm additionally takes the Pallas
+        # recurrence (fast=True) in the fused model
         l0 = m0.apply(p, enc, joined)
         l1 = m1.apply(p, enc, joined)
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
                                    rtol=1e-5, atol=1e-5, err_msg=aggrs)
-        g0 = jax.grad(lambda q: (m0.apply(q, enc, joined) ** 2).sum())(p)
-        g1 = jax.grad(lambda q: (m1.apply(q, enc, joined) ** 2).sum())(p)
+        # gradients flow on the train path (the lstm fast path is
+        # forward-only; training uses the differentiable scan)
+        rngs = {"dropout": jax.random.PRNGKey(1)}
+
+        def loss(q, m):
+            out = m.apply(q, enc, joined, None, train=True, rngs=rngs)
+            return (out ** 2).sum()
+
+        g0 = jax.grad(loss)(p, m0)
+        g1 = jax.grad(loss)(p, m1)
         for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-4, atol=1e-5,
                                        err_msg=aggrs)
+
+
+def test_lstm_kernel_matches_scan():
+    """Pallas LSTM final hidden == the XLA chunked-remat scan."""
+    from surel_plus_tpu.models.layers import LSTMAggregation
+    from surel_plus_tpu.ops.pallas.lstm_kernel import lstm_final_hidden
+
+    rng = np.random.default_rng(7)
+    B, L, h, H = 9, 23, 6, 8
+    x = jnp.asarray(rng.normal(size=(B, L, h)).astype(np.float32))
+    sizes = rng.integers(1, L + 1, size=B)
+    mask = jnp.asarray(np.arange(L)[None, :] < sizes[:, None])
+
+    agg = LSTMAggregation(H, chunk=5)
+    params = agg.init(jax.random.PRNGKey(0), x, mask)
+    want = agg.apply(params, x, mask)
+    p = params["params"]
+    got = lstm_final_hidden(x, mask, p["wi"], p["wh"], p["bh"],
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    # module-level fast path wires the same kernel
+    got2 = agg.apply(params, x, mask, fast=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
