@@ -168,10 +168,11 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
             num_walks=cfg.num_walks, num_steps=cfg.num_steps,
             seed=cfg.seed, bucket=bucket)
         input_dim = cfg.num_steps
+        fused = {"auto": None, "on": True, "off": False}[cfg.fused_hidden]
         model = Net(input_dim=input_dim, hidden_dim=cfg.hidden_channels,
                     out_dim=1, x_dim=x_dim, dropout=cfg.dropout,
                     use_feature=cfg.use_raw, aggrs=cfg.aggrs,
-                    dtype="bfloat16")
+                    dtype="bfloat16", fused_hidden=fused)
         feat_dev = (None if feature is None
                     else jax.numpy.asarray(feature))
         trainer = trainer_from_keys(model, x_keys, tcfg, feature=feat_dev)

@@ -48,6 +48,9 @@ class ExperimentConfig:
     log_steps: int = 1
     nthread: int = -1
     engine: str = "auto"               # auto | host | device
+    # Pallas fused hidden kernel: auto (on for TPU) | on | off — an
+    # escape hatch for hardware A/B and debugging (models/net.py)
+    fused_hidden: str = "auto"
     # comma-separated tile widths for balanced-|S_Q| batching (paper 3.3),
     # e.g. "64,128,301"; empty = fixed-bucket batches. Device engine only.
     balance_widths: str = ""
