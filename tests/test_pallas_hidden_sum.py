@@ -285,3 +285,35 @@ def test_lstm_kernel_matches_scan():
     got2 = agg.apply(params, x, mask, fast=True)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_balanced_predict_fused_matches_plain():
+    """Width-classed scoring through the FUSED kernel (forced on, keys
+    trainer) == plain full-width scoring — the width-sliced join planes
+    feed the kernel correctly at every class width."""
+    from surel_plus_tpu.train import TrainConfig
+    from surel_plus_tpu.train.device import trainer_from_keys
+
+    g = rmat_graph(300, 1500, seed=10)
+    spgk = sample_gsets_device_keys(
+        g, np.arange(300, dtype=np.int32), num_walks=NW, num_steps=NS,
+        seed=4, block_size=128)
+    cfg = TrainConfig(batch_size=64, lr=1e-3)
+    rng = np.random.default_rng(1)
+    edges = rng.integers(0, 300, size=(2, 160)).astype(np.int32)
+
+    def scores(fused):
+        net = Net(input_dim=NS + 1, hidden_dim=16, dropout=0.0,
+                  fused_hidden=fused)
+        tr = trainer_from_keys(net, spgk, cfg)
+        params, _ = tr.init(jax.random.PRNGKey(0), edges[:, :64])
+        bucket = spgk.nodes.shape[1]
+        classes = (8, 16, max(32, bucket))
+        return (np.asarray(tr.predict(params, edges)),
+                np.asarray(tr.predict_balanced(params, edges, classes)))
+
+    plain0, bal0 = scores(False)
+    plain1, bal1 = scores(True)
+    np.testing.assert_allclose(bal0, plain0, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(plain1, plain0, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(bal1, plain0, rtol=1e-5, atol=1e-6)
