@@ -81,3 +81,39 @@ def test_keys_trainer_trains(both):
                                              jax.random.PRNGKey(1), 6)
     assert float(losses[-1]) < float(losses[0])
     assert float(aucs[-1]) > 0.8
+
+
+def test_keys_join_hi_lo_layout_matches_table():
+    """Field layouts that overflow the lo word (num_walks=2048: shift=12,
+    lead_bit=44) take the two-word merge path: features still match the
+    table join exactly, and the fused-kernel planes are absent so the
+    model falls back to the XLA path."""
+    from surel_plus_tpu.ops.walk import enc_field_layout
+
+    M2 = 2048
+    assert enc_field_layout(M2, S)[2] >= 32  # truly hi+lo
+    g = rmat_graph(120, 600, seed=9)
+    seeds = np.arange(g.num_nodes, dtype=np.int32)
+    dev, u = sample_gsets_device(g, seeds, num_walks=M2, num_steps=S,
+                                 seed=3, block_size=64, enc_width=256,
+                                 max_enc_width=4096)
+    spgk = sample_gsets_device_keys(g, seeds, num_walks=M2, num_steps=S,
+                                    seed=3, block_size=64)
+    rng = np.random.default_rng(0)
+    edges = jnp.asarray(rng.integers(0, 120, size=(2, 16)).astype(np.int32))
+    table_out = gather_join(dev.nodes, dev.eidx, dev.sizes, edges)
+    table_feats = dev.enc[table_out.eidx]
+    keys_out = make_keys_join(M2, S)(spgk.nodes, spgk.khi, spgk.klo,
+                                     spgk.sizes, edges)
+    assert keys_out.kown is None and keys_out.kcross is None
+    np.testing.assert_array_equal(np.asarray(table_out.mask),
+                                  np.asarray(keys_out.mask))
+    np.testing.assert_allclose(np.asarray(table_feats),
+                               np.asarray(keys_out.eidx), rtol=1e-6)
+
+    model = Net(input_dim=S + 1, hidden_dim=8, aggrs="mean",
+                fused_hidden=True, key_layout=(M2, S))
+    enc0 = jnp.zeros((1, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), enc0, keys_out)
+    out = model.apply(params, enc0, keys_out)
+    assert np.isfinite(np.asarray(out)).all()
