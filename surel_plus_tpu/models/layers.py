@@ -155,9 +155,9 @@ class LSTMAggregation(nn.Module):
         bh = self.param("bh", nn.initializers.zeros, (4 * H,))
 
         if fast:
-            # inference path: VMEM-resident Pallas recurrence (forward
-            # only — ops/pallas/lstm_kernel.py); training uses the
-            # differentiable chunked-remat scan below
+            # VMEM-resident Pallas recurrence with in-kernel chunked
+            # BPTT (ops/pallas/lstm_kernel.py); the scan below is the
+            # XLA reference path
             from surel_plus_tpu.ops.pallas.lstm_kernel import (
                 lstm_final_hidden)
 

@@ -163,7 +163,7 @@ class Net(nn.Module):
         elif self.aggrs == "lstm":
             x = pe.project(hsum) + b2v
             agg = LSTMAggregation(self.hidden_dim, name="aggr")(
-                x, joined.mask, fast=fuse and not train)
+                x, joined.mask, fast=fuse)
         elif self.aggrs == "mean":
             agg = pe.project(masked_mean(hsum, joined.mask)) + b2v
         else:

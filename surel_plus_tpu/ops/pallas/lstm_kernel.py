@@ -9,10 +9,12 @@ the carries in VMEM/registers for the whole sequence and issues both
 gate matmuls per step at the full program tile (128 rows), so the only
 HBM traffic is one read of x and one [B, H] write.
 
-Forward-only: training keeps the chunked-remat XLA scan (BPTT through a
-Pallas recurrence would need in-kernel carry storage that exceeds VMEM
-at production shapes). The wrapper is therefore not differentiable —
-callers gate on an inference path (models/layers.py fast=...).
+Differentiable via an in-kernel chunked-BPTT backward: the backward
+kernel re-runs the forward storing only chunk-boundary carries in VMEM
+scratch (nch x [TB, H] x 2), then walks chunks in reverse — recomputing
+each chunk's per-step carries/gate activations into a [chunk, TB, *]
+scratch and accumulating dW/db on the MXU — so, like the forward,
+nothing per-step ever touches HBM except the dx output.
 
 Gate order (i, f, g, o) matches torch nn.LSTM / the XLA path, so the
 same wi/wh/bh parameters drive both implementations.
@@ -24,6 +26,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -55,41 +58,226 @@ def _lstm_kernel(ell, x_ref, mk_ref, wi_ref, wh_ref, bh_ref, out_ref):
     out_ref[:] = hid
 
 
+def _lstm_bwd_kernel(ell, chunk, x_ref, mk_ref, wi_ref, wh_ref, bh_ref,
+                     g_ref, dx_ref, dwi_ref, dwh_ref, dbh_ref,
+                     bc_ref, bhh_ref, sc_ref, shp_ref, sg_ref, snc_ref):
+    pid = pl.program_id(0)
+    tb = x_ref.shape[0]
+    hd = wi_ref.shape[0]
+    hh = wh_ref.shape[0]
+    nch = ell // chunk
+    wi = wi_ref[:]
+    wh = wh_ref[:]
+    bh = bh_ref[:]
+    zero = jnp.zeros((tb, hh), jnp.float32)
+
+    def gates_of(c, hid, t):
+        xt = x_ref[:, pl.ds(t, 1), :].reshape(tb, hd)
+        a = (jnp.dot(xt, wi, preferred_element_type=jnp.float32)
+             + jnp.dot(hid, wh, preferred_element_type=jnp.float32) + bh)
+        gi = jax.nn.sigmoid(a[:, :hh])
+        gf = jax.nn.sigmoid(a[:, hh:2 * hh])
+        gg = jnp.tanh(a[:, 2 * hh:3 * hh])
+        go = jax.nn.sigmoid(a[:, 3 * hh:])
+        nc = gf * c + gi * gg
+        nh = go * jnp.tanh(nc)
+        keep = mk_ref[:, pl.ds(t, 1)] > 0            # [tb, 1]
+        return gi, gf, gg, go, nc, nh, keep
+
+    # phase 1: forward, storing only chunk-boundary carries
+    def fstep(t, carry):
+        c, hid = carry
+        _, _, _, _, nc, nh, keep = gates_of(c, hid, t)
+        return (jnp.where(keep, nc, c), jnp.where(keep, nh, hid))
+
+    c = zero
+    hid = zero
+    for ci in range(nch):
+        bc_ref[ci] = c
+        bhh_ref[ci] = hid
+        c, hid = jax.lax.fori_loop(ci * chunk, (ci + 1) * chunk, fstep,
+                                   (c, hid))
+
+    # phase 2: chunks in reverse — recompute per-step state into
+    # scratch, then run BPTT over the chunk
+    dh = g_ref[:]
+    dc = zero
+    dwi_a = jnp.zeros((hd, 4 * hh), jnp.float32)
+    dwh_a = jnp.zeros((hh, 4 * hh), jnp.float32)
+    dbh_a = jnp.zeros((1, 4 * hh), jnp.float32)
+    for ci in reversed(range(nch)):
+        def rstep(j, carry, ci=ci):
+            c, hid = carry
+            gi, gf, gg, go, nc, nh, keep = gates_of(c, hid,
+                                                    ci * chunk + j)
+            sc_ref[pl.ds(j, 1)] = c[None]
+            shp_ref[pl.ds(j, 1)] = hid[None]
+            sg_ref[pl.ds(j, 1)] = jnp.concatenate(
+                [gi, gf, gg, go], axis=1)[None]
+            snc_ref[pl.ds(j, 1)] = nc[None]
+            return (jnp.where(keep, nc, c), jnp.where(keep, nh, hid))
+
+        jax.lax.fori_loop(0, chunk, rstep,
+                          (bc_ref[ci], bhh_ref[ci]))
+
+        def bstep(jr, carry, ci=ci):
+            dc, dh, dwi_a, dwh_a, dbh_a = carry
+            j = chunk - 1 - jr
+            t = ci * chunk + j
+            cp = sc_ref[pl.ds(j, 1)].reshape(tb, hh)
+            hp = shp_ref[pl.ds(j, 1)].reshape(tb, hh)
+            gp = sg_ref[pl.ds(j, 1)].reshape(tb, 4 * hh)
+            nc = snc_ref[pl.ds(j, 1)].reshape(tb, hh)
+            keep = mk_ref[:, pl.ds(t, 1)] > 0
+            gi = gp[:, :hh]
+            gf = gp[:, hh:2 * hh]
+            gg = gp[:, 2 * hh:3 * hh]
+            go = gp[:, 3 * hh:]
+            tnc = jnp.tanh(nc)
+            dgo = dh * tnc * go * (1.0 - go)
+            dnc = dc + dh * go * (1.0 - tnc * tnc)
+            dgi = dnc * gg * gi * (1.0 - gi)
+            dgf = dnc * cp * gf * (1.0 - gf)
+            dgg = dnc * gi * (1.0 - gg * gg)
+            dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=1)
+            dgates = jnp.where(keep, dgates, 0.0)    # [tb, 4H]
+            xt = x_ref[:, pl.ds(t, 1), :].reshape(tb, hd)
+            # contraction over rows (dim 0 both): x^T dgates etc.
+            cdim = (((0,), (0,)), ((), ()))
+            dwi_a += jax.lax.dot_general(
+                xt, dgates, dimension_numbers=cdim,
+                preferred_element_type=jnp.float32)
+            dwh_a += jax.lax.dot_general(
+                hp, dgates, dimension_numbers=cdim,
+                preferred_element_type=jnp.float32)
+            dbh_a += dgates.sum(axis=0, keepdims=True)
+            # contraction over 4H (dim 1 both): dgates @ W^T
+            cT = (((1,), (1,)), ((), ()))
+            dx_ref[:, pl.ds(t, 1), :] = jax.lax.dot_general(
+                dgates, wi, dimension_numbers=cT,
+                preferred_element_type=jnp.float32)[:, None, :]
+            dhp = jax.lax.dot_general(
+                dgates, wh, dimension_numbers=cT,
+                preferred_element_type=jnp.float32) \
+                + jnp.where(keep, 0.0, dh)
+            dcp = jnp.where(keep, dnc * gf, dc)
+            return (dcp, dhp, dwi_a, dwh_a, dbh_a)
+
+        dc, dh, dwi_a, dwh_a, dbh_a = jax.lax.fori_loop(
+            0, chunk, bstep, (dc, dh, dwi_a, dwh_a, dbh_a))
+
+    @pl.when(pid == 0)
+    def _():
+        dwi_ref[:] = jnp.zeros_like(dwi_ref)
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
+        dbh_ref[:] = jnp.zeros_like(dbh_ref)
+
+    dwi_ref[:] += dwi_a
+    dwh_ref[:] += dwh_a
+    dbh_ref[:] += dbh_a
+
+
 def _default_interpret() -> bool:
     return jax.default_backend() not in ("tpu",)
 
 
-def lstm_final_hidden(x: jax.Array, mask: jax.Array, wi: jax.Array,
-                      wh: jax.Array, bh: jax.Array, tb: int = 128,
-                      interpret: bool | None = None) -> jax.Array:
-    """Final masked-LSTM hidden state -> [B, H] float32 (forward only).
+def _specs(tb, ell, hd, hh, blk):
+    return [blk((tb, ell, hd), lambda i: (i, 0, 0)),
+            blk((tb, ell), lambda i: (i, 0)),
+            blk((hd, 4 * hh), lambda i: (0, 0)),
+            blk((hh, 4 * hh), lambda i: (0, 0)),
+            blk((1, 4 * hh), lambda i: (0, 0))]
 
-    x: [B, L, h] float (cast to f32 in-kernel via the matmul), mask:
-    bool [B, L] (padded slots pass the carry through), wi: [h, 4H],
-    wh: [H, 4H], bh: [4H]."""
+
+def _lstm_fwd_call(x, mk, wi, wh, bh, tb, interpret):
+    bp, ell, hd = x.shape
+    hh = wh.shape[0]
+    blk = lambda shape, imap: pl.BlockSpec(shape, imap,
+                                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_lstm_kernel, ell),
+        grid=(bp // tb,),
+        in_specs=_specs(tb, ell, hd, hh, blk),
+        out_specs=blk((tb, hh), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bp, hh), jnp.float32),
+        interpret=interpret,
+    )(x, mk, wi, wh, bh)
+
+
+def _lstm_bwd_call(x, mk, wi, wh, bh, g, tb, chunk, interpret):
+    bp, ell, hd = x.shape
+    hh = wh.shape[0]
+    nch = ell // chunk
+    blk = lambda shape, imap: pl.BlockSpec(shape, imap,
+                                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_lstm_bwd_kernel, ell, chunk),
+        grid=(bp // tb,),
+        in_specs=_specs(tb, ell, hd, hh, blk)
+        + [blk((tb, hh), lambda i: (i, 0))],
+        out_specs=(blk((tb, ell, hd), lambda i: (i, 0, 0)),
+                   blk((hd, 4 * hh), lambda i: (0, 0)),
+                   blk((hh, 4 * hh), lambda i: (0, 0)),
+                   blk((1, 4 * hh), lambda i: (0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((bp, ell, hd), jnp.float32),
+                   jax.ShapeDtypeStruct((hd, 4 * hh), jnp.float32),
+                   jax.ShapeDtypeStruct((hh, 4 * hh), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 4 * hh), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((nch, tb, hh), jnp.float32),
+                        pltpu.VMEM((nch, tb, hh), jnp.float32),
+                        pltpu.VMEM((chunk, tb, hh), jnp.float32),
+                        pltpu.VMEM((chunk, tb, hh), jnp.float32),
+                        pltpu.VMEM((chunk, tb, 4 * hh), jnp.float32),
+                        pltpu.VMEM((chunk, tb, hh), jnp.float32)],
+        interpret=interpret,
+    )(x, mk, wi, wh, bh, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _lstm(x, mk, wi, wh, bh, tb, chunk, interpret):
+    return _lstm_fwd_call(x, mk, wi, wh, bh, tb, interpret)
+
+
+def _lstm_fwd(x, mk, wi, wh, bh, tb, chunk, interpret):
+    return (_lstm_fwd_call(x, mk, wi, wh, bh, tb, interpret),
+            (x, mk, wi, wh, bh))
+
+
+def _lstm_bwd(tb, chunk, interpret, res, g):
+    x, mk, wi, wh, bh = res
+    dx, dwi, dwh, dbh = _lstm_bwd_call(x, mk, wi, wh, bh,
+                                       g.astype(jnp.float32), tb, chunk,
+                                       interpret)
+    f0 = np.zeros(mk.shape, jax.dtypes.float0)
+    return dx, f0, dwi, dwh, dbh
+
+
+_lstm.defvjp(_lstm_fwd, _lstm_bwd)
+
+
+def lstm_final_hidden(x: jax.Array, mask: jax.Array, wi: jax.Array,
+                      wh: jax.Array, bh: jax.Array, tb: int = 32,
+                      chunk: int = 32,
+                      interpret: bool | None = None) -> jax.Array:
+    """Final masked-LSTM hidden state -> [B, H] float32.
+
+    x: [B, L, h] float (compute runs in f32), mask: bool [B, L] (padded
+    slots pass the carry through), wi: [h, 4H], wh: [H, 4H], bh: [4H].
+    Differentiable wrt x/wi/wh/bh (in-kernel chunked BPTT)."""
     if interpret is None:
         interpret = _default_interpret()
     b, ell, _ = x.shape
     hh = wh.shape[0]
     tb = min(tb, max(8, b))
     bp = -(-b // tb) * tb
+    chunk = min(chunk, ell)
+    ellp = -(-ell // chunk) * chunk
     mk = mask.astype(jnp.int32)
-    if bp != b:
-        x = jnp.pad(x, [(0, bp - b), (0, 0), (0, 0)])
-        mk = jnp.pad(mk, [(0, bp - b), (0, 0)])
-    blk = lambda shape, imap: pl.BlockSpec(shape, imap,
-                                           memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_lstm_kernel, ell),
-        grid=(bp // tb,),
-        in_specs=[blk((tb, ell, x.shape[-1]), lambda i: (i, 0, 0)),
-                  blk((tb, ell), lambda i: (i, 0)),
-                  blk(wi.shape, lambda i: (0, 0)),
-                  blk(wh.shape, lambda i: (0, 0)),
-                  blk((1, bh.shape[-1]), lambda i: (0, 0))],
-        out_specs=blk((tb, hh), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bp, hh), jnp.float32),
-        interpret=interpret,
-    )(x.astype(jnp.float32), mk, wi.astype(jnp.float32),
-      wh.astype(jnp.float32), bh.reshape(1, -1).astype(jnp.float32))
+    if bp != b or ellp != ell:
+        x = jnp.pad(x, [(0, bp - b), (0, ellp - ell), (0, 0)])
+        mk = jnp.pad(mk, [(0, bp - b), (0, ellp - ell)])
+    out = _lstm(x.astype(jnp.float32), mk, wi.astype(jnp.float32),
+                wh.astype(jnp.float32),
+                bh.reshape(1, -1).astype(jnp.float32), tb, chunk,
+                interpret)
     return out[:b]

@@ -240,14 +240,12 @@ def test_net_fused_slots_attn_lstm_match_unfused():
         m1 = Net(fused_hidden=True, **kw)
         enc = jnp.zeros((1, 1), jnp.float32)
         p = m0.init(jax.random.PRNGKey(0), enc, joined)
-        # inference forward: lstm additionally takes the Pallas
-        # recurrence (fast=True) in the fused model
+        # the fused model additionally takes the Pallas recurrence
+        # (fast=True, in-kernel BPTT) for lstm
         l0 = m0.apply(p, enc, joined)
         l1 = m1.apply(p, enc, joined)
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
                                    rtol=1e-5, atol=1e-5, err_msg=aggrs)
-        # gradients flow on the train path (the lstm fast path is
-        # forward-only; training uses the differentiable scan)
         rngs = {"dropout": jax.random.PRNGKey(1)}
 
         def loss(q, m):
@@ -317,3 +315,37 @@ def test_balanced_predict_fused_matches_plain():
     np.testing.assert_allclose(bal0, plain0, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(plain1, plain0, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(bal1, plain0, rtol=1e-5, atol=1e-6)
+
+
+def test_lstm_kernel_grads_match_scan():
+    """In-kernel chunked BPTT == XLA scan gradients (dx, dwi, dwh, dbh)."""
+    from surel_plus_tpu.models.layers import LSTMAggregation
+    from surel_plus_tpu.ops.pallas.lstm_kernel import lstm_final_hidden
+
+    rng = np.random.default_rng(8)
+    B, L, h, H = 9, 23, 6, 8
+    x = jnp.asarray(rng.normal(size=(B, L, h)).astype(np.float32))
+    sizes = rng.integers(1, L + 1, size=B)
+    mask = jnp.asarray(np.arange(L)[None, :] < sizes[:, None])
+    g = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+
+    agg = LSTMAggregation(H, chunk=5)
+    params = agg.init(jax.random.PRNGKey(0), x, mask)
+    p = params["params"]
+
+    def loss_ref(x, wi, wh, bh):
+        pp = {"params": {"wi": wi, "wh": wh, "bh": bh}}
+        return (agg.apply(pp, x, mask) * g).sum()
+
+    def loss_ker(x, wi, wh, bh):
+        # chunk=4 does not divide L=23: exercises the wrapper's padding
+        return (lstm_final_hidden(x, mask, wi, wh, bh, chunk=4,
+                                  interpret=True) * g).sum()
+
+    g0 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
+        x, p["wi"], p["wh"], p["bh"])
+    g1 = jax.grad(loss_ker, argnums=(0, 1, 2, 3))(
+        x, p["wi"], p["wh"], p["bh"])
+    for name, a, b in zip(("dx", "dwi", "dwh", "dbh"), g0, g1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
