@@ -64,6 +64,13 @@ class MLP2(nn.Module):
         """Second (linear) layer only."""
         return self.fc1(h)
 
+    def project_raw(self):
+        """fc1's raw (kernel, bias) for algebraic folds (see
+        hidden_raw for the parameter-tree-preserving dummy call)."""
+        _ = self.fc1(jnp.zeros((1, self.hidden_dim), self.dtype))
+        p = self.fc1.variables["params"]
+        return p["kernel"], p["bias"]
+
 
 class MergeLayer(nn.Module):
     """Two-layer scorer over concatenated endpoint embeddings
@@ -105,14 +112,46 @@ class AttentionAggregation(nn.Module):
 
     hidden_dim: int
 
-    @nn.compact
+    def setup(self):
+        self.gate_nn = nn.Dense(1, kernel_init=xavier_normal,
+                                name="Dense_0")
+        self.value_nn = nn.Dense(self.hidden_dim,
+                                 kernel_init=xavier_normal,
+                                 name="Dense_1")
+
     def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
-        gate = nn.Dense(1, kernel_init=xavier_normal)(x)  # [..., L, 1]
+        gate = self.gate_nn(x)                            # [..., L, 1]
         gate = jnp.where(mask[..., None], gate, -jnp.inf)
         attn = jax.nn.softmax(gate, axis=-2)
         attn = jnp.where(mask[..., None], attn, 0.0)
-        val = nn.Dense(self.hidden_dim, kernel_init=xavier_normal)(x)
+        val = self.value_nn(x)
         return (attn * val).sum(axis=-2)
+
+    def folded(self, hsum: jax.Array, mask: jax.Array, w2: jax.Array,
+               c2: jax.Array) -> jax.Array:
+        """Same pooling with the upstream projection (x = hsum @ w2 + c2)
+        and the value Dense folded PAST the softmax: both are affine and
+        the attention weights sum to 1 over each (never-empty) set, so
+
+            sum_l a_l x_l == (sum_l a_l hsum_l) @ w2 + c2
+
+        and the value Dense applies to that aggregate. Only the scalar
+        gate touches per-slot data — no [..., L, h] tensor besides hsum
+        is ever materialized. Same parameter tree as __call__."""
+        h = hsum.shape[-1]
+        _ = self.gate_nn(jnp.zeros((1, h), hsum.dtype))
+        _ = self.value_nn(jnp.zeros((1, h), hsum.dtype))
+        pg = self.gate_nn.variables["params"]
+        gvec = w2.astype(hsum.dtype) @ pg["kernel"].astype(hsum.dtype)
+        gconst = (c2 @ pg["kernel"].astype(c2.dtype)
+                  + pg["bias"].astype(c2.dtype))
+        gate = hsum @ gvec + gconst.astype(hsum.dtype)    # [..., L, 1]
+        gate = jnp.where(mask[..., None], gate, -jnp.inf)
+        attn = jax.nn.softmax(gate, axis=-2)
+        attn = jnp.where(mask[..., None], attn, 0.0)
+        pooled = (attn * hsum).sum(axis=-2)               # [..., h]
+        x_agg = pooled @ w2.astype(pooled.dtype) + c2.astype(pooled.dtype)
+        return self.value_nn(x_agg)
 
 
 class LSTMAggregation(nn.Module):

@@ -157,9 +157,17 @@ class Net(nn.Module):
         b2v = pe.project(jnp.zeros((1, self.hidden_dim), hsum.dtype))
 
         if self.aggrs == "attn":
-            x = pe.project(hsum) + b2v                     # [2, B, L, h]
-            agg = AttentionAggregation(self.hidden_dim, name="aggr")(
-                x, joined.mask)
+            aggr = AttentionAggregation(self.hidden_dim, name="aggr")
+            if fuse:
+                # fold the projection + value Dense past the softmax:
+                # x = hsum @ W2 + 2*b2 (own+cross each carry one bias),
+                # and only the scalar gate is computed per slot
+                w2, bias2 = pe.project_raw()
+                c2 = 2.0 * bias2.astype(jnp.float32)[None]
+                agg = aggr.folded(hsum, joined.mask, w2, c2)
+            else:
+                x = pe.project(hsum) + b2v                 # [2, B, L, h]
+                agg = aggr(x, joined.mask)
         elif self.aggrs == "lstm":
             x = pe.project(hsum) + b2v
             agg = LSTMAggregation(self.hidden_dim, name="aggr")(
