@@ -182,16 +182,28 @@ class LSTMAggregation(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array, *,
-                 fast: bool = False) -> jax.Array:
+                 fast: bool = False, fold=None) -> jax.Array:
+        """fold=(w2, c2): x is the PRE-projection hsum and the affine
+        upstream projection x' = x @ w2 + c2 folds into the input
+        weights (wi' = w2 @ wi, bh' = bh + c2 @ wi) — the projected
+        per-slot tensor never materializes. Same parameter tree."""
         *batch_shape, L, h = x.shape
         H = self.hidden_dim
         xf = x.reshape((-1, L, h))
         mf = mask.reshape((-1, L))
         B = xf.shape[0]
 
-        wi = self.param("wi", xavier_normal, (h, 4 * H))
+        in_w = fold[0].shape[1] if fold is not None else h
+        wi = self.param("wi", xavier_normal, (in_w, 4 * H))
         wh = self.param("wh", xavier_normal, (H, 4 * H))
         bh = self.param("bh", nn.initializers.zeros, (4 * H,))
+        if fold is not None:
+            w2, c2 = fold
+            wi_eff = w2.astype(xf.dtype) @ wi.astype(xf.dtype)
+            bh_eff = (bh.astype(jnp.float32)
+                      + (c2 @ wi.astype(c2.dtype)).reshape(-1))
+        else:
+            wi_eff, bh_eff = wi, bh.astype(jnp.float32)
 
         if fast:
             # VMEM-resident Pallas recurrence with in-kernel chunked
@@ -200,8 +212,14 @@ class LSTMAggregation(nn.Module):
             from surel_plus_tpu.ops.pallas.lstm_kernel import (
                 lstm_final_hidden)
 
-            hidden = lstm_final_hidden(xf, mf, wi, wh, bh)
+            hidden = lstm_final_hidden(xf, mf, wi_eff, wh, bh_eff)
             return hidden.astype(x.dtype).reshape((*batch_shape, H))
+
+        return self._scan(xf, mf, wi_eff, wh, bh_eff.astype(xf.dtype),
+                          batch_shape, L, B)
+
+    def _scan(self, xf, mf, wi, wh, bh, batch_shape, L, B):
+        H = self.hidden_dim
 
         xproj = xf @ wi                     # [B, L, 4H] one MXU matmul
         carry0 = (jnp.zeros((B, H), xproj.dtype),

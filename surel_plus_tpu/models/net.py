@@ -169,9 +169,16 @@ class Net(nn.Module):
                 x = pe.project(hsum) + b2v                 # [2, B, L, h]
                 agg = aggr(x, joined.mask)
         elif self.aggrs == "lstm":
-            x = pe.project(hsum) + b2v
-            agg = LSTMAggregation(self.hidden_dim, name="aggr")(
-                x, joined.mask, fast=fuse)
+            aggr = LSTMAggregation(self.hidden_dim, name="aggr")
+            if fuse:
+                # fold the projection into the recurrence's input
+                # weights (x = hsum @ W2 + 2*b2, see the attn branch)
+                w2, bias2 = pe.project_raw()
+                c2 = 2.0 * bias2.astype(jnp.float32)[None]
+                agg = aggr(hsum, joined.mask, fast=True, fold=(w2, c2))
+            else:
+                x = pe.project(hsum) + b2v
+                agg = aggr(x, joined.mask)
         elif self.aggrs == "mean":
             agg = pe.project(masked_mean(hsum, joined.mask)) + b2v
         else:
