@@ -143,7 +143,7 @@ class Net(nn.Module):
                  b1.astype(jnp.float32)[None]], axis=0)
             hsum = fused_key_hidden_slots(
                 joined.kown, joined.kcross_al, u_ext,
-                int(nw).bit_length()).astype(cdtype)       # [2, B, L, h]
+                int(nw).bit_length(), out_dtype=cdtype)    # [2, B, L, h]
         else:
             if xrows is not None:
                 hpair = pe.hidden(xrows)                   # [2, B, L, 2, h]

@@ -309,7 +309,7 @@ def _slots_fwd_kernel(shift, ko_ref, kc_ref, u_ref, out_ref):
             _, z = _z_of(k_ref[pi], zeros, u, nbx, shift)
             r = jnp.maximum(z, 0.0)
             acc = r if acc is None else acc + r
-        out_ref[pi] = acc.reshape(tb, ell, h)
+        out_ref[pi] = acc.reshape(tb, ell, h).astype(out_ref.dtype)
 
 
 def _slots_bwd_kernel(shift, ko_ref, kc_ref, u_ref, g_ref, du_ref):
@@ -345,7 +345,7 @@ def _slots_specs(p, tb, ell, nbx, h):
     return ins, out, dub
 
 
-def _slots_pallas_fwd(ko, kc, u, tb, ell, shift, interpret):
+def _slots_pallas_fwd(ko, kc, u, tb, ell, shift, out_dtype, interpret):
     p = ko.shape[0]
     b = ko.shape[1] // ell
     nbx, h = u.shape
@@ -355,7 +355,7 @@ def _slots_pallas_fwd(ko, kc, u, tb, ell, shift, interpret):
         grid=(b // tb,),
         in_specs=ins,
         out_specs=out,
-        out_shape=jax.ShapeDtypeStruct((p, b, ell, h), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((p, b, ell, h), out_dtype),
         interpret=interpret,
     )(ko, kc, u)
 
@@ -375,17 +375,19 @@ def _slots_pallas_bwd(ko, kc, u, g, tb, ell, shift, interpret):
     )(ko, kc, u, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _fused_slots(ko, kc, u, tb, ell, shift, interpret):
-    return _slots_pallas_fwd(ko, kc, u, tb, ell, shift, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _fused_slots(ko, kc, u, tb, ell, shift, out_dtype, interpret):
+    return _slots_pallas_fwd(ko, kc, u, tb, ell, shift, out_dtype,
+                             interpret)
 
 
-def _fused_slots_fwd(ko, kc, u, tb, ell, shift, interpret):
-    return (_slots_pallas_fwd(ko, kc, u, tb, ell, shift, interpret),
+def _fused_slots_fwd(ko, kc, u, tb, ell, shift, out_dtype, interpret):
+    return (_slots_pallas_fwd(ko, kc, u, tb, ell, shift, out_dtype,
+                              interpret),
             (ko, kc, u))
 
 
-def _fused_slots_bwd(tb, ell, shift, interpret, res, g):
+def _fused_slots_bwd(tb, ell, shift, out_dtype, interpret, res, g):
     ko, kc, u = res
     du = _slots_pallas_bwd(ko, kc, u, g.astype(jnp.float32), tb, ell,
                            shift, interpret)
@@ -398,8 +400,11 @@ _fused_slots.defvjp(_fused_slots_fwd, _fused_slots_bwd)
 
 def fused_key_hidden_slots(kown: jax.Array, kcross_al: jax.Array,
                            u_ext: jax.Array, shift: int, tb: int = 8,
+                           out_dtype=jnp.float32,
                            interpret: bool | None = None) -> jax.Array:
-    """Pair-summed per-slot hidden activations -> [Q, B, L, H] float32.
+    """Pair-summed per-slot hidden activations -> [Q, B, L, H] out_dtype
+    (compute stays f32; a bf16 output halves the only HBM write this
+    kernel makes — the [Q, B, L, H] tensor the aggregators consume).
 
     kown/kcross_al: uint32 [Q, B, L] packed lo keys, slot-aligned.
     u_ext: float32 [ncol + 2, H] = concat(u_core_rows(W1), [any row],
@@ -412,5 +417,6 @@ def fused_key_hidden_slots(kown: jax.Array, kcross_al: jax.Array,
     bp = -(-b // tb) * tb
     ko, ellp = _pad_flatten(kown, tb, bp)
     kc, _ = _pad_flatten(kcross_al, tb, bp)
-    out = _fused_slots(ko, kc, u_ext, tb, ellp, shift, interpret)
+    out = _fused_slots(ko, kc, u_ext, tb, ellp, shift,
+                       jnp.dtype(out_dtype), interpret)
     return out[:, :b, :ell]
