@@ -153,6 +153,28 @@ class AttentionAggregation(nn.Module):
         x_agg = pooled @ w2.astype(pooled.dtype) + c2.astype(pooled.dtype)
         return self.value_nn(x_agg)
 
+    def folded_from_keys(self, kown: jax.Array, kcross_al: jax.Array,
+                         mask: jax.Array, u_ext: jax.Array, shift: int,
+                         w2: jax.Array, c2: jax.Array) -> jax.Array:
+        """`folded` with the pooling fused all the way to the packed
+        keys (ops/pallas/hidden_sum_kernel.py fused_attn_pool): the
+        per-slot hidden rows live only in VMEM. Forward-only — callers
+        gate on inference."""
+        from surel_plus_tpu.ops.pallas.hidden_sum_kernel import (
+            fused_attn_pool)
+
+        h = w2.shape[0]
+        _ = self.gate_nn(jnp.zeros((1, h), jnp.float32))
+        _ = self.value_nn(jnp.zeros((1, h), jnp.float32))
+        pg = self.gate_nn.variables["params"]
+        w2f = w2.astype(jnp.float32)
+        gvec = w2f @ pg["kernel"].astype(jnp.float32)     # [h, 1]
+        gconst = c2 @ pg["kernel"].astype(c2.dtype) + pg["bias"]
+        pooled = fused_attn_pool(kown, kcross_al, mask, u_ext, gvec,
+                                 gconst, shift)           # [Q, B, h]
+        x_agg = pooled @ w2f + c2
+        return self.value_nn(x_agg)
+
 
 class LSTMAggregation(nn.Module):
     """LSTM over each set's elements in ascending node-id order, final

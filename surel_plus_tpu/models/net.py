@@ -164,7 +164,25 @@ class Net(nn.Module):
                 # and only the scalar gate is computed per slot
                 w2, bias2 = pe.project_raw()
                 c2 = 2.0 * bias2.astype(jnp.float32)[None]
-                agg = aggr.folded(hsum, joined.mask, w2, c2)
+                if (not train and joined.kown is not None
+                        and joined.kcross_al is not None
+                        and self.key_layout is not None):
+                    # inference: one Pallas pass keys -> pooled; the
+                    # per-slot hidden rows never reach HBM at all (the
+                    # hsum computed above goes dead and XLA removes
+                    # its kernel call)
+                    nw, ns = self.key_layout
+                    w1, b1 = pe.hidden_raw(ns + 1)
+                    u_ext = jnp.concatenate(
+                        [u_core_rows(w1, nw, ns),
+                         jnp.full((1, self.hidden_dim), NEG,
+                                  jnp.float32),
+                         b1.astype(jnp.float32)[None]], axis=0)
+                    agg = aggr.folded_from_keys(
+                        joined.kown, joined.kcross_al, joined.mask,
+                        u_ext, int(nw).bit_length(), w2, c2)
+                else:
+                    agg = aggr.folded(hsum, joined.mask, w2, c2)
             else:
                 x = pe.project(hsum) + b2v                 # [2, B, L, h]
                 agg = aggr(x, joined.mask)

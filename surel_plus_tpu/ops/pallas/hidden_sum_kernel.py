@@ -420,3 +420,86 @@ def fused_key_hidden_slots(kown: jax.Array, kcross_al: jax.Array,
     out = _fused_slots(ko, kc, u_ext, tb, ellp, shift,
                        jnp.dtype(out_dtype), interpret)
     return out[:, :b, :ell]
+
+
+# ---------------------------------------------------------------------------
+# Fused attention pooling (inference): keys -> hidden -> scalar gate ->
+# masked softmax -> weighted pool, entirely in VMEM. With the
+# projection/value folds (models/layers.py AttentionAggregation.folded)
+# the gate is the only per-slot consumer, so nothing [.., L, h]-sized
+# ever reaches HBM. Forward-only: training uses the per-slot kernel +
+# XLA attention (the softmax VJP is not worth hand-writing while the
+# fwd dominates inference wall-clock).
+
+def _attn_fwd_kernel(shift, ko_ref, kc_ref, mo_ref, u_ref, gv_ref,
+                     out_ref):
+    p, tb, h = out_ref.shape
+    nbx = u_ref.shape[0]
+    ell = ko_ref.shape[1] // tb
+    u = u_ref[:]
+    gv = gv_ref[:]          # [H + 1, 1]: gate vector | gconst row
+    zeros = jnp.zeros((tb * ell,), jnp.float32)
+    for pi in range(p):
+        inv = 1.0 - mo_ref[pi].astype(jnp.float32)
+        beo, zo = _z_of(ko_ref[pi], inv, u, nbx, shift)
+        _, zc = _z_of(kc_ref[pi], zeros, u, nbx, shift)
+        # the own-side NEG row already zeroed masked slots' hidden rows;
+        # reuse be's (inv | ones) tail rows to add NEG*inv + gconst to
+        # the gate without any lane->sublane relayout
+        hs = jnp.maximum(zo, 0.0) + jnp.maximum(zc, 0.0)   # [R, H]
+        gtail = jnp.concatenate(
+            [jnp.full((1, 1), NEG, jnp.float32), gv[h:]], axis=0)
+        gate = (jnp.dot(hs, gv[:h], preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    beo[nbx - 2:], gtail,
+                    dimension_numbers=_CONTRACT_BITS,
+                    preferred_element_type=jnp.float32))   # [R, 1]
+        gate = gate.reshape(tb, ell, 1)
+        gate = gate - jax.lax.stop_gradient(gate.max(axis=1,
+                                                     keepdims=True))
+        e = jnp.exp(gate)
+        a = e / e.sum(axis=1, keepdims=True)               # [tb, ell, 1]
+        out_ref[pi] = (a * hs.reshape(tb, ell, h)).sum(axis=1)
+
+
+def fused_attn_pool(kown: jax.Array, kcross_al: jax.Array,
+                    mask: jax.Array, u_ext: jax.Array, gvec: jax.Array,
+                    gconst: jax.Array, shift: int, tb: int = 8,
+                    interpret: bool | None = None) -> jax.Array:
+    """Masked attention pool over per-slot hidden rows -> [Q, B, H] f32.
+
+    kown/kcross_al: uint32 [Q, B, L] slot-aligned packed keys; mask
+    bool [Q, B, L]; u_ext as in fused_key_hidden_sum (its NEG row zeroes
+    masked slots' hidden rows AND drives the gate's -inf); gvec [H, 1]
+    f32 (the folded gate vector W2 @ wg), gconst [1, 1]. Forward-only.
+
+    Masked slots' gates get +NEG (their softmax weight underflows to 0),
+    and sets are never empty, so the weights sum to 1 over valid slots —
+    matching AttentionAggregation exactly."""
+    if interpret is None:
+        interpret = _default_interpret()
+    q, b, _ = kown.shape
+    h = gvec.shape[0]
+    bp = -(-b // tb) * tb
+    ko, ellp = _pad_flatten(kown, tb, bp)
+    kc, _ = _pad_flatten(kcross_al, tb, bp)
+    mo, _ = _pad_flatten(mask.astype(jnp.int32), tb, bp)
+    gv = jnp.concatenate([gvec.astype(jnp.float32),
+                          gconst.reshape(1, 1).astype(jnp.float32)],
+                         axis=0)
+    nbx = u_ext.shape[0]
+    blk = lambda shape, imap: pl.BlockSpec(shape, imap,
+                                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attn_fwd_kernel, shift),
+        grid=(bp // tb,),
+        in_specs=[blk((q, tb * ellp), lambda i: (0, i)),
+                  blk((q, tb * ellp), lambda i: (0, i)),
+                  blk((q, tb * ellp), lambda i: (0, i)),
+                  blk((nbx, h), lambda i: (0, 0)),
+                  blk((h + 1, 1), lambda i: (0, 0))],
+        out_specs=blk((q, tb, h), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((q, bp, h), jnp.float32),
+        interpret=interpret,
+    )(ko, kc, mo, u_ext, gv)
+    return out[:, :b]

@@ -349,3 +349,27 @@ def test_lstm_kernel_grads_match_scan():
     for name, a, b in zip(("dx", "dwi", "dwh", "dbh"), g0, g1):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_attn_inference_pool_kernel_matches_unfused():
+    """Fully fused attention inference (keys -> pooled, one Pallas pass)
+    matches the unfused XLA attention path."""
+    g = rmat_graph(200, 1000, seed=11)
+    spgk = sample_gsets_device_keys(
+        g, np.arange(200, dtype=np.int32), num_walks=NW, num_steps=NS,
+        seed=2, block_size=64)
+    rng = np.random.default_rng(12)
+    edges = jnp.asarray(rng.integers(0, 200, size=(2, 20)).astype(np.int32))
+    joined = make_keys_join(NW, NS)(spgk.nodes, spgk.khi, spgk.klo,
+                                    spgk.sizes, edges)
+
+    kw = dict(input_dim=NS + 1, hidden_dim=16, aggrs="attn",
+              dropout=0.0, dtype="float32", key_layout=(NW, NS))
+    m0 = Net(fused_hidden=False, **kw)
+    m1 = Net(fused_hidden=True, **kw)
+    enc = jnp.zeros((1, 1), jnp.float32)
+    p = m0.init(jax.random.PRNGKey(0), enc, joined)
+    l0 = m0.apply(p, enc, joined)          # train=False -> pool kernel
+    l1 = m1.apply(p, enc, joined)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                               rtol=1e-5, atol=1e-5)
