@@ -56,7 +56,9 @@ class HONet(nn.Module):
                  b1.astype(jnp.float32)[None]], axis=0)
             sums = fused_key_hidden_sum(
                 joined.kown, joined.mask, joined.kcross,
-                joined.kcross_mask, u_ext, int(nw).bit_length())
+                joined.kcross_mask, u_ext, int(nw).bit_length(),
+                root_own=joined.kown_root,
+                root_cross=joined.kcross_root)
             cnt = jnp.maximum(joined.mask.sum(axis=-1), 1)
             mean = sums / cnt[..., None].astype(jnp.float32)
             b2v = pe.project(jnp.zeros((1, self.hidden_dim), jnp.float32))

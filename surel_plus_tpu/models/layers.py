@@ -155,7 +155,8 @@ class AttentionAggregation(nn.Module):
 
     def folded_from_keys(self, kown: jax.Array, kcross_al: jax.Array,
                          mask: jax.Array, u_ext: jax.Array, shift: int,
-                         w2: jax.Array, c2: jax.Array) -> jax.Array:
+                         w2: jax.Array, c2: jax.Array, *,
+                         root_own=None, root_cross=None) -> jax.Array:
         """`folded` with the pooling fused all the way to the packed
         keys (ops/pallas/hidden_sum_kernel.py fused_attn_pool): the
         per-slot hidden rows live only in VMEM. Forward-only — callers
@@ -171,7 +172,8 @@ class AttentionAggregation(nn.Module):
         gvec = w2f @ pg["kernel"].astype(jnp.float32)     # [h, 1]
         gconst = c2 @ pg["kernel"].astype(c2.dtype) + pg["bias"]
         pooled = fused_attn_pool(kown, kcross_al, mask, u_ext, gvec,
-                                 gconst, shift)           # [Q, B, h]
+                                 gconst, shift, root_own=root_own,
+                                 root_cross=root_cross)   # [Q, B, h]
         x_agg = pooled @ w2f + c2
         return self.value_nn(x_agg)
 

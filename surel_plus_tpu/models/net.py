@@ -119,7 +119,9 @@ class Net(nn.Module):
                  b1.astype(jnp.float32)[None]], axis=0)
             sums = fused_key_hidden_sum(
                 joined.kown, joined.mask, joined.kcross,
-                joined.kcross_mask, u_ext, int(nw).bit_length())
+                joined.kcross_mask, u_ext, int(nw).bit_length(),
+                root_own=joined.kown_root,
+                root_cross=joined.kcross_root)
             cnt = jnp.maximum(joined.mask.sum(axis=-1), 1)  # [Q, B]
             mean = (sums / cnt[..., None].astype(jnp.float32)
                     ).astype(cdtype)                       # [Q, B, h]
@@ -143,7 +145,9 @@ class Net(nn.Module):
                  b1.astype(jnp.float32)[None]], axis=0)
             hsum = fused_key_hidden_slots(
                 joined.kown, joined.kcross_al, u_ext,
-                int(nw).bit_length(), out_dtype=cdtype)    # [2, B, L, h]
+                int(nw).bit_length(), out_dtype=cdtype,
+                root_own=joined.kown_root,
+                root_cross=joined.kcross_al_root)          # [2, B, L, h]
         else:
             if xrows is not None:
                 hpair = pe.hidden(xrows)                   # [2, B, L, 2, h]
@@ -180,7 +184,9 @@ class Net(nn.Module):
                          b1.astype(jnp.float32)[None]], axis=0)
                     agg = aggr.folded_from_keys(
                         joined.kown, joined.kcross_al, joined.mask,
-                        u_ext, int(nw).bit_length(), w2, c2)
+                        u_ext, int(nw).bit_length(), w2, c2,
+                        root_own=joined.kown_root,
+                        root_cross=joined.kcross_al_root)
                 else:
                     agg = aggr.folded(hsum, joined.mask, w2, c2)
             else:

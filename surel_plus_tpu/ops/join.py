@@ -61,6 +61,15 @@ class JoinedBatch(NamedTuple):
     # consumers (attn/lstm, models/net.py) — unlike kcross these come
     # from the un-sorted side, so using them keeps the un-sort alive.
     kcross_al: Optional[jax.Array] = None
+    # Root-indicator planes (int32 0/1, same shapes as the key planes
+    # above). Set only for "lead-in-hi" layouts (field counts fill the
+    # lo word exactly and the root bit is the hi word's bit 0 — e.g.
+    # S=4, M=200: ppa/tags-math): the kernels then take the root
+    # feature from these planes instead of a key bit, derived from node
+    # ids (a slot is the root iff its node IS the set's seed).
+    kown_root: Optional[jax.Array] = None
+    kcross_root: Optional[jax.Array] = None
+    kcross_al_root: Optional[jax.Array] = None
 
 
 def _cross_lookup_multi(nodes_a: jax.Array, nodes_b: jax.Array,
@@ -201,7 +210,8 @@ def _cross_lookup_bidir_multi(nodes_u, nodes_v, pays_u, pays_v,
     pad = snode != INT32_MAX
     su_mask = (st == 1) & pad
     sv_mask = (st == 0) & pad
-    return aligned + (tuple(cu), su_mask, tuple(cv), sv_mask)
+    return aligned + (tuple(cu), su_mask, tuple(cv), sv_mask,
+                      snode, st)
 
 
 def _cross_lookup_bidir(nodes_u, nodes_v, hu, lu, hv, lv):
@@ -298,7 +308,14 @@ def join_gathered_keys(rows_nodes, rows_hi, rows_lo, rows_sizes,
     from surel_plus_tpu.ops.walk import enc_field_layout
 
     nu, nv = rows_nodes[0], rows_nodes[1]
-    lo_only = enc_field_layout(num_walks, num_steps)[2] < 32
+    lead_bit = enc_field_layout(num_walks, num_steps)[2]
+    lo_only = lead_bit < 32
+    # "lead-in-hi": counts fill the lo word exactly, the hi word holds
+    # ONLY the root bit (S=4, M=200: ppa/tags-math). The root indicator
+    # is derivable from node ids (slot is root iff node == the set's
+    # seed; cross side iff node == the partner's seed), so the merge
+    # still runs on the lo word alone and root PLANES replace key bits.
+    lead_hi = lead_bit == 32
     if impl == "pallas":
         from surel_plus_tpu.ops.pallas.join_kernel import (
             pallas_cross_lookup_pair)
@@ -307,14 +324,22 @@ def join_gathered_keys(rows_nodes, rows_hi, rows_lo, rows_sizes,
             nu, nv, rows_hi[1], rows_lo[1])
         cross_hi_v, cross_lo_v = pallas_cross_lookup_pair(
             nv, nu, rows_hi[0], rows_lo[0])
-    elif lo_only:
-        # hi words are statically zero (field layout fits the lo word —
-        # every published config): 3-operand sort + 3-operand unsort
+    elif lo_only or lead_hi:
         ((cross_lo_u,), (cross_lo_v,), (scu,), su_mask, (scv,),
-         sv_mask) = _cross_lookup_bidir_multi(
+         sv_mask, snode, stag) = _cross_lookup_bidir_multi(
             nu, nv, (rows_lo[0],), (rows_lo[1],), want_sorted=True)
-        cross_hi_u = jnp.zeros_like(cross_lo_u)
-        cross_hi_v = jnp.zeros_like(cross_lo_v)
+        if lead_hi:
+            rbit_u = (rows_hi[0] & 1).astype(jnp.int32)
+            rbit_v = (rows_hi[1] & 1).astype(jnp.int32)
+            u_b = jnp.max(jnp.where(rbit_u > 0, nu, -1), axis=1)
+            v_b = jnp.max(jnp.where(rbit_v > 0, nv, -1), axis=1)
+            cross_hi_u = ((nu == v_b[:, None])
+                          & (nu != INT32_MAX)).astype(jnp.uint32)
+            cross_hi_v = ((nv == u_b[:, None])
+                          & (nv != INT32_MAX)).astype(jnp.uint32)
+        else:
+            cross_hi_u = jnp.zeros_like(cross_lo_u)
+            cross_hi_v = jnp.zeros_like(cross_lo_v)
     else:
         cross_hi_u, cross_lo_u, cross_hi_v, cross_lo_v = \
             _cross_lookup_bidir(nu, nv, rows_hi[0], rows_lo[0],
@@ -330,16 +355,28 @@ def join_gathered_keys(rows_nodes, rows_hi, rows_lo, rows_sizes,
     feats = unpack_key_features(khi_pairs, klo_pairs, num_walks, num_steps)
     mask = rows_nodes != jnp.int32(INT32_MAX)
     kown = kcross = kcross_mask = kcross_al = None
-    if lo_only and impl != "pallas":
+    kown_root = kcross_root = kcross_al_root = None
+    if (lo_only or lead_hi) and impl != "pallas":
         kown = jnp.stack([rows_lo[0], rows_lo[1]])
         # ONE shared merged-sort plane: each direction's matches occupy
         # disjoint (tag-separated) positions, selected by the per-q mask
         kcross = scu + scv                           # [B, 2L]
         kcross_mask = jnp.stack([su_mask, sv_mask])
         kcross_al = jnp.stack([cross_lo_u, cross_lo_v])
+        if lead_hi:
+            kown_root = jnp.stack([rbit_u, rbit_v])
+            kcross_root = (
+                ((stag == 1) & (snode == v_b[:, None]))
+                | ((stag == 0) & (snode == u_b[:, None]))
+            ).astype(jnp.int32)
+            kcross_al_root = jnp.stack(
+                [cross_hi_u.astype(jnp.int32),
+                 cross_hi_v.astype(jnp.int32)])
     return JoinedBatch(eidx=feats, mask=mask, sizes=rows_sizes,
                        kown=kown, kcross=kcross, kcross_mask=kcross_mask,
-                       kcross_al=kcross_al)
+                       kcross_al=kcross_al, kown_root=kown_root,
+                       kcross_root=kcross_root,
+                       kcross_al_root=kcross_al_root)
 
 
 def make_keys_hjoin(num_walks: int, num_steps: int):
@@ -355,18 +392,35 @@ def make_keys_hjoin(num_walks: int, num_steps: int):
         rh = khi[hedges]
         rl = klo[hedges]
         rs = sizes[hedges]
-        lo_only = enc_field_layout(num_walks, num_steps)[2] < 32
+        lead_bit = enc_field_layout(num_walks, num_steps)[2]
+        lo_only = lead_bit < 32
+        lead_hi = lead_bit == 32   # see join_gathered_keys
         # the four anchor/cross groups (u|w, w|u, v|w, w|v) are two
         # bidirectional pairs — one fused merge sort each
         khi_list, klo_list, masks = [], [], []
-        planes, pmasks = [], []
+        planes, pmasks, proots, ownroots = [], [], [], []
         for a, b in ((0, 2), (1, 2)):
-            if lo_only:
+            if lo_only or lead_hi:
                 ((ca_l,), (cb_l,), (sca,), sa_mask, (scb,),
-                 sb_mask) = _cross_lookup_bidir_multi(
+                 sb_mask, snode, stag) = _cross_lookup_bidir_multi(
                     rn[a], rn[b], (rl[a],), (rl[b],), want_sorted=True)
-                ca_h = jnp.zeros_like(ca_l)
-                cb_h = jnp.zeros_like(cb_l)
+                if lead_hi:
+                    rb_a = (rh[a] & 1).astype(jnp.int32)
+                    rb_b = (rh[b] & 1).astype(jnp.int32)
+                    a_id = jnp.max(jnp.where(rb_a > 0, rn[a], -1), axis=1)
+                    b_id = jnp.max(jnp.where(rb_b > 0, rn[b], -1), axis=1)
+                    ca_h = ((rn[a] == b_id[:, None])
+                            & (rn[a] != INT32_MAX)).astype(jnp.uint32)
+                    cb_h = ((rn[b] == a_id[:, None])
+                            & (rn[b] != INT32_MAX)).astype(jnp.uint32)
+                    proots.append((
+                        ((stag == 1) & (snode == b_id[:, None]))
+                        | ((stag == 0) & (snode == a_id[:, None]))
+                    ).astype(jnp.int32))
+                    ownroots.extend([rb_a, rb_b])
+                else:
+                    ca_h = jnp.zeros_like(ca_l)
+                    cb_h = jnp.zeros_like(cb_l)
                 planes.append(sca + scb)   # disjoint tag-split positions
                 pmasks.append((sa_mask, sb_mask))
             else:
@@ -383,7 +437,8 @@ def make_keys_hjoin(num_walks: int, num_steps: int):
                                     num_walks, num_steps)
         sizes_out = jnp.stack([rs[0], rs[2], rs[1], rs[2]])
         kown = kcross = kcross_mask = None
-        if lo_only:
+        kown_root = kcross_root = None
+        if lo_only or lead_hi:
             # fused-kernel planes: ONE [B, 4L] cross plane (the two
             # merges' planes side by side) selected per group by masks
             # that cover only the group's merge half (models/honet.py)
@@ -396,9 +451,13 @@ def make_keys_hjoin(num_walks: int, num_steps: int):
                 jnp.concatenate([z, pmasks[1][0]], axis=1),
                 jnp.concatenate([z, pmasks[1][1]], axis=1),
             ])
+            if lead_hi:
+                kown_root = jnp.stack(ownroots)
+                kcross_root = jnp.concatenate(proots, axis=1)
         return JoinedBatch(eidx=feats, mask=jnp.stack(masks),
                            sizes=sizes_out, kown=kown, kcross=kcross,
-                           kcross_mask=kcross_mask)
+                           kcross_mask=kcross_mask, kown_root=kown_root,
+                           kcross_root=kcross_root)
 
     return join
 

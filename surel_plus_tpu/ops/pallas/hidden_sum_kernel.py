@@ -63,8 +63,9 @@ def u_core_rows(w1: jax.Array, num_walks: int, num_steps: int) -> jax.Array:
     from surel_plus_tpu.ops.walk import enc_field_layout
 
     shift, starts, lead_bit = enc_field_layout(num_walks, num_steps)
-    if lead_bit >= 32:
-        raise ValueError("u_core_rows requires a lo-word layout")
+    if lead_bit > 32:
+        raise ValueError(
+            "u_core_rows requires the count fields in the lo word")
     assert lead_bit == num_steps * shift  # uniform spacing below bit 32
     perm = list(range(num_steps, 0, -1))
     return jnp.concatenate(
@@ -72,33 +73,40 @@ def u_core_rows(w1: jax.Array, num_walks: int, num_steps: int) -> jax.Array:
          w1[0:1, :].astype(jnp.float32)], axis=0)
 
 
-def _fields_ext(kv, inv, shift, ncol):
+def _fields_ext(kv, inv, shift, ncol, root=None):
     """[ncol+2, R] float32: unpacked fields | invalid-slot | always-one,
     for a lane-dense row-vector kv [R] (R = TB*L slots of one endpoint).
 
     Fields land on SUBLANES via a broadcast + sublane-varying iota-scaled
     shift — the layout Mosaic can build without any lane<->sublane
     relayout (a [R, ncol] orientation would need one, which Mosaic
-    rejects). Row i holds (k >> i*shift) & (2^shift - 1) for i < ncol-1
-    and the root bit (k >> (ncol-1)*shift) & 1 for the last row."""
+    rejects). Row i holds (k >> i*shift) & (2^shift - 1) for i < ncol-1;
+    the last (root) row is (k >> (ncol-1)*shift) & 1, or the given
+    int32 0/1 `root` plane for lead-in-hi layouts whose root bit lives
+    outside the lo word (ops/join.py)."""
     r = kv.shape[0]
-    kb = jnp.broadcast_to(kv[None, :], (ncol, r))
-    ri = jax.lax.broadcasted_iota(jnp.uint32, (ncol, r), 0)
-    fm = jnp.where(ri == ncol - 1, jnp.uint32(1),
-                   jnp.uint32((1 << shift) - 1))
+    nf = ncol if root is None else ncol - 1
+    kb = jnp.broadcast_to(kv[None, :], (nf, r))
+    ri = jax.lax.broadcasted_iota(jnp.uint32, (nf, r), 0)
+    fm = jnp.uint32((1 << shift) - 1)
+    if root is None:
+        fm = jnp.where(ri == ncol - 1, jnp.uint32(1), fm)
     # Mosaic has no uint32->f32 cast; field values are exact via int32
     fields = ((kb >> (ri * jnp.uint32(shift))) & fm).astype(
         jnp.int32).astype(jnp.float32)
-    return jnp.concatenate(
-        [fields, inv[None, :], jnp.ones((1, r), jnp.float32)], axis=0)
+    rows = [fields]
+    if root is not None:
+        rows.append(root.astype(jnp.float32)[None, :])
+    rows += [inv[None, :], jnp.ones((1, r), jnp.float32)]
+    return jnp.concatenate(rows, axis=0)
 
 
 # contraction over the bit axis (sublanes of both operands): be^T @ u
 _CONTRACT_BITS = (((0,), (0,)), ((), ()))
 
 
-def _z_of(kv, inv, u, nbx, shift):
-    be = _fields_ext(kv, inv, shift, nbx - 2)
+def _z_of(kv, inv, u, nbx, shift, root=None):
+    be = _fields_ext(kv, inv, shift, nbx - 2, root)
     z = jax.lax.dot_general(
         be, u, dimension_numbers=_CONTRACT_BITS,
         preferred_element_type=jnp.float32)          # [TB*ell, H]
@@ -115,8 +123,13 @@ def _group_sel(mc, tb, ell):
     return sel.astype(jnp.float32)
 
 
-def _fwd_kernel(shift, ko_ref, mo_ref, kc_ref, mc_ref, u_ref,
-                out_ref):
+def _fwd_kernel(shift, has_root, *refs):
+    if has_root:
+        (ko_ref, mo_ref, kc_ref, mc_ref, ro_ref, rc_ref, u_ref,
+         out_ref) = refs
+    else:
+        ko_ref, mo_ref, kc_ref, mc_ref, u_ref, out_ref = refs
+        ro_ref = rc_ref = None
     p = ko_ref.shape[0]
     nbx, h = u_ref.shape
     tb = out_ref.shape[1]
@@ -128,19 +141,25 @@ def _fwd_kernel(shift, ko_ref, mo_ref, kc_ref, mc_ref, u_ref,
     # the per-endpoint sums split out via masked group-sum matmuls (the
     # q-masks also zero the padding, so no NEG column is needed here)
     _, zc = _z_of(kc_ref[0], jnp.zeros((tb * ellc,), jnp.float32), u, nbx,
-                  shift)
+                  shift, None if rc_ref is None else rc_ref[0])
     rc = jnp.maximum(zc, 0.0)                        # [TB*ellc, H]
     for pi in range(p):
         _, z = _z_of(ko_ref[pi],
-                     1.0 - mo_ref[pi].astype(jnp.float32), u, nbx, shift)
+                     1.0 - mo_ref[pi].astype(jnp.float32), u, nbx, shift,
+                     None if ro_ref is None else ro_ref[pi])
         s = jnp.maximum(z, 0.0).reshape(tb, ello, h).sum(axis=1)
         sel = _group_sel(mc_ref[pi], tb, ellc)
         out_ref[pi] = s + jnp.dot(sel, rc,
                                   preferred_element_type=jnp.float32)
 
 
-def _bwd_kernel(shift, ko_ref, mo_ref, kc_ref, mc_ref, u_ref, g_ref,
-                du_ref):
+def _bwd_kernel(shift, has_root, *refs):
+    if has_root:
+        (ko_ref, mo_ref, kc_ref, mc_ref, ro_ref, rc_ref, u_ref, g_ref,
+         du_ref) = refs
+    else:
+        ko_ref, mo_ref, kc_ref, mc_ref, u_ref, g_ref, du_ref = refs
+        ro_ref = rc_ref = None
     i = pl.program_id(0)
     p = ko_ref.shape[0]
     nbx, h = u_ref.shape
@@ -149,7 +168,8 @@ def _bwd_kernel(shift, ko_ref, mo_ref, kc_ref, mc_ref, u_ref, g_ref,
     ello = ko_ref.shape[1] // tb
     ellc = kc_ref.shape[1] // tb
     bec, zc = _z_of(kc_ref[0], jnp.zeros((tb * ellc,), jnp.float32),
-                    u, nbx, shift)
+                    u, nbx, shift,
+                    None if rc_ref is None else rc_ref[0])
     gc = None
     acc = None
     for pi in range(p):
@@ -157,7 +177,7 @@ def _bwd_kernel(shift, ko_ref, mo_ref, kc_ref, mc_ref, u_ref, g_ref,
             g_ref[pi][:, None, :], (tb, ello, h)).reshape(tb * ello, h)
         be, z = _z_of(ko_ref[pi],
                       1.0 - mo_ref[pi].astype(jnp.float32), u, nbx,
-                      shift)
+                      shift, None if ro_ref is None else ro_ref[pi])
         dz = jnp.where(z > 0, gb, 0.0)
         dup = jnp.dot(be, dz, preferred_element_type=jnp.float32)
         acc = dup if acc is None else acc + dup
@@ -177,68 +197,78 @@ def _bwd_kernel(shift, ko_ref, mo_ref, kc_ref, mc_ref, u_ref, g_ref,
     du_ref[:] += acc
 
 
-def _specs(p, tb, ello, ellc, nbx, h):
+def _specs(p, tb, ello, ellc, nbx, h, has_root):
     blk = lambda shape, imap: pl.BlockSpec(shape, imap,
                                            memory_space=pltpu.VMEM)
     ins = [blk((p, tb * ello), lambda i: (0, i)),
            blk((p, tb * ello), lambda i: (0, i)),
            blk((1, tb * ellc), lambda i: (0, i)),
-           blk((p, tb * ellc), lambda i: (0, i)),
-           blk((nbx, h), lambda i: (0, 0))]
+           blk((p, tb * ellc), lambda i: (0, i))]
+    if has_root:
+        ins += [blk((p, tb * ello), lambda i: (0, i)),
+                blk((1, tb * ellc), lambda i: (0, i))]
+    ins.append(blk((nbx, h), lambda i: (0, 0)))
     out = blk((p, tb, h), lambda i: (0, i, 0))
     dub = blk((nbx, h), lambda i: (0, 0))
     gin = blk((p, tb, h), lambda i: (0, i, 0))
     return ins, out, dub, gin
 
 
-def _pallas_fwd(ko, mo, kc, mc, u, tb, ello, ellc, shift, interpret):
+def _pallas_fwd(ko, mo, kc, mc, roots, u, tb, ello, ellc, shift,
+                interpret):
     p = ko.shape[0]
     b = ko.shape[1] // ello
     nbx, h = u.shape
-    ins, out, _, _ = _specs(p, tb, ello, ellc, nbx, h)
+    ins, out, _, _ = _specs(p, tb, ello, ellc, nbx, h, roots is not None)
+    args = (ko, mo, kc, mc) + (roots or ()) + (u,)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, shift),
+        functools.partial(_fwd_kernel, shift, roots is not None),
         grid=(b // tb,),
         in_specs=ins,
         out_specs=out,
         out_shape=jax.ShapeDtypeStruct((p, b, h), jnp.float32),
         interpret=interpret,
-    )(ko, mo, kc, mc, u)
+    )(*args)
 
 
-def _pallas_bwd(ko, mo, kc, mc, u, g, tb, ello, ellc, shift, interpret):
+def _pallas_bwd(ko, mo, kc, mc, roots, u, g, tb, ello, ellc, shift,
+                interpret):
     p = ko.shape[0]
     b = ko.shape[1] // ello
     nbx, h = u.shape
-    ins, _, dub, gin = _specs(p, tb, ello, ellc, nbx, h)
+    ins, _, dub, gin = _specs(p, tb, ello, ellc, nbx, h,
+                              roots is not None)
+    args = (ko, mo, kc, mc) + (roots or ()) + (u, g)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, shift),
+        functools.partial(_bwd_kernel, shift, roots is not None),
         grid=(b // tb,),
         in_specs=ins + [gin],
         out_specs=dub,
         out_shape=jax.ShapeDtypeStruct((nbx, h), jnp.float32),
         interpret=interpret,
-    )(ko, mo, kc, mc, u, g)
+    )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _fused(ko, mo, kc, mc, u, tb, ello, ellc, shift, interpret):
-    return _pallas_fwd(ko, mo, kc, mc, u, tb, ello, ellc, shift,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _fused(ko, mo, kc, mc, roots, u, tb, ello, ellc, shift, interpret):
+    return _pallas_fwd(ko, mo, kc, mc, roots, u, tb, ello, ellc, shift,
                        interpret)
 
 
-def _fused_fwd(ko, mo, kc, mc, u, tb, ello, ellc, shift, interpret):
-    return (_pallas_fwd(ko, mo, kc, mc, u, tb, ello, ellc, shift,
+def _fused_fwd(ko, mo, kc, mc, roots, u, tb, ello, ellc, shift,
+               interpret):
+    return (_pallas_fwd(ko, mo, kc, mc, roots, u, tb, ello, ellc, shift,
                         interpret),
-            (ko, mo, kc, mc, u))
+            (ko, mo, kc, mc, roots, u))
 
 
 def _fused_bwd(tb, ello, ellc, shift, interpret, res, g):
-    ko, mo, kc, mc, u = res
-    du = _pallas_bwd(ko, mo, kc, mc, u, g.astype(jnp.float32), tb,
-                     ello, ellc, shift, interpret)
+    ko, mo, kc, mc, roots, u = res
+    du = _pallas_bwd(ko, mo, kc, mc, roots, u, g.astype(jnp.float32),
+                     tb, ello, ellc, shift, interpret)
     f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-    return f0(ko), f0(mo), f0(kc), f0(mc), du
+    rz = None if roots is None else tuple(f0(r) for r in roots)
+    return f0(ko), f0(mo), f0(kc), f0(mc), rz, du
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -265,6 +295,8 @@ def _pad_flatten(a, tb, bp, fill=0):
 def fused_key_hidden_sum(kown: jax.Array, mask_own: jax.Array,
                          kcross: jax.Array, mask_cross: jax.Array,
                          u_ext: jax.Array, shift: int, tb: int = 8,
+                         root_own: jax.Array | None = None,
+                         root_cross: jax.Array | None = None,
                          interpret: bool | None = None) -> jax.Array:
     """Masked set-sum of both sides' hidden activations -> [Q, B, H] f32.
 
@@ -285,7 +317,13 @@ def fused_key_hidden_sum(kown: jax.Array, mask_own: jax.Array,
     mo, _ = _pad_flatten(mask_own.astype(jnp.int32), tb, bp)
     kc, ellc = _pad_flatten(kcross[None], tb, bp)    # [1, B*Lc]
     mc, _ = _pad_flatten(mask_cross.astype(jnp.int32), tb, bp)
-    out = _fused(ko, mo, kc, mc, u_ext, tb, ello, ellc, shift, interpret)
+    roots = None
+    if root_own is not None:
+        ro, _ = _pad_flatten(root_own.astype(jnp.int32), tb, bp)
+        rc, _ = _pad_flatten(root_cross.astype(jnp.int32)[None], tb, bp)
+        roots = (ro, rc)
+    out = _fused(ko, mo, kc, mc, roots, u_ext, tb, ello, ellc, shift,
+                 interpret)
     return out[:, :b]
 
 
@@ -298,21 +336,32 @@ def fused_key_hidden_sum(kown: jax.Array, mask_own: jax.Array,
 # and an absent partner's 0-key row contributes relu(b1) exactly like
 # the reference's zero encoding row (train.py:33-37).
 
-def _slots_fwd_kernel(shift, ko_ref, kc_ref, u_ref, out_ref):
+def _slots_fwd_kernel(shift, has_root, *refs):
+    if has_root:
+        ko_ref, kc_ref, ro_ref, rc_ref, u_ref, out_ref = refs
+    else:
+        ko_ref, kc_ref, u_ref, out_ref = refs
+        ro_ref = rc_ref = None
     p, tb, ell, h = out_ref.shape
     nbx = u_ref.shape[0]
     u = u_ref[:]
     zeros = jnp.zeros((tb * ell,), jnp.float32)
     for pi in range(p):
         acc = None
-        for k_ref in (ko_ref, kc_ref):
-            _, z = _z_of(k_ref[pi], zeros, u, nbx, shift)
+        for k_ref, r_ref in ((ko_ref, ro_ref), (kc_ref, rc_ref)):
+            _, z = _z_of(k_ref[pi], zeros, u, nbx, shift,
+                         None if r_ref is None else r_ref[pi])
             r = jnp.maximum(z, 0.0)
             acc = r if acc is None else acc + r
         out_ref[pi] = acc.reshape(tb, ell, h).astype(out_ref.dtype)
 
 
-def _slots_bwd_kernel(shift, ko_ref, kc_ref, u_ref, g_ref, du_ref):
+def _slots_bwd_kernel(shift, has_root, *refs):
+    if has_root:
+        ko_ref, kc_ref, ro_ref, rc_ref, u_ref, g_ref, du_ref = refs
+    else:
+        ko_ref, kc_ref, u_ref, g_ref, du_ref = refs
+        ro_ref = rc_ref = None
     i = pl.program_id(0)
     p, tb, ell, h = g_ref.shape
     nbx = u_ref.shape[0]
@@ -321,8 +370,9 @@ def _slots_bwd_kernel(shift, ko_ref, kc_ref, u_ref, g_ref, du_ref):
     acc = None
     for pi in range(p):
         gf = g_ref[pi].reshape(tb * ell, h)
-        for k_ref in (ko_ref, kc_ref):
-            be, z = _z_of(k_ref[pi], zeros, u, nbx, shift)
+        for k_ref, r_ref in ((ko_ref, ro_ref), (kc_ref, rc_ref)):
+            be, z = _z_of(k_ref[pi], zeros, u, nbx, shift,
+                          None if r_ref is None else r_ref[pi])
             dz = jnp.where(z > 0, gf, 0.0)
             dup = jnp.dot(be, dz, preferred_element_type=jnp.float32)
             acc = dup if acc is None else acc + dup
@@ -334,65 +384,73 @@ def _slots_bwd_kernel(shift, ko_ref, kc_ref, u_ref, g_ref, du_ref):
     du_ref[:] += acc
 
 
-def _slots_specs(p, tb, ell, nbx, h):
+def _slots_specs(p, tb, ell, nbx, h, has_root):
     blk = lambda shape, imap: pl.BlockSpec(shape, imap,
                                            memory_space=pltpu.VMEM)
     ins = [blk((p, tb * ell), lambda i: (0, i)),
-           blk((p, tb * ell), lambda i: (0, i)),
-           blk((nbx, h), lambda i: (0, 0))]
+           blk((p, tb * ell), lambda i: (0, i))]
+    if has_root:
+        ins += [blk((p, tb * ell), lambda i: (0, i)),
+                blk((p, tb * ell), lambda i: (0, i))]
+    ins.append(blk((nbx, h), lambda i: (0, 0)))
     out = blk((p, tb, ell, h), lambda i: (0, i, 0, 0))
     dub = blk((nbx, h), lambda i: (0, 0))
     return ins, out, dub
 
 
-def _slots_pallas_fwd(ko, kc, u, tb, ell, shift, out_dtype, interpret):
+def _slots_pallas_fwd(ko, kc, roots, u, tb, ell, shift, out_dtype,
+                      interpret):
     p = ko.shape[0]
     b = ko.shape[1] // ell
     nbx, h = u.shape
-    ins, out, _ = _slots_specs(p, tb, ell, nbx, h)
+    ins, out, _ = _slots_specs(p, tb, ell, nbx, h, roots is not None)
+    args = (ko, kc) + (roots or ()) + (u,)
     return pl.pallas_call(
-        functools.partial(_slots_fwd_kernel, shift),
+        functools.partial(_slots_fwd_kernel, shift, roots is not None),
         grid=(b // tb,),
         in_specs=ins,
         out_specs=out,
         out_shape=jax.ShapeDtypeStruct((p, b, ell, h), out_dtype),
         interpret=interpret,
-    )(ko, kc, u)
+    )(*args)
 
 
-def _slots_pallas_bwd(ko, kc, u, g, tb, ell, shift, interpret):
+def _slots_pallas_bwd(ko, kc, roots, u, g, tb, ell, shift, interpret):
     p = ko.shape[0]
     b = ko.shape[1] // ell
     nbx, h = u.shape
-    ins, out, dub = _slots_specs(p, tb, ell, nbx, h)
+    ins, out, dub = _slots_specs(p, tb, ell, nbx, h, roots is not None)
+    args = (ko, kc) + (roots or ()) + (u, g)
     return pl.pallas_call(
-        functools.partial(_slots_bwd_kernel, shift),
+        functools.partial(_slots_bwd_kernel, shift, roots is not None),
         grid=(b // tb,),
         in_specs=ins + [out],
         out_specs=dub,
         out_shape=jax.ShapeDtypeStruct((nbx, h), jnp.float32),
         interpret=interpret,
-    )(ko, kc, u, g)
+    )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _fused_slots(ko, kc, u, tb, ell, shift, out_dtype, interpret):
-    return _slots_pallas_fwd(ko, kc, u, tb, ell, shift, out_dtype,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _fused_slots(ko, kc, roots, u, tb, ell, shift, out_dtype, interpret):
+    return _slots_pallas_fwd(ko, kc, roots, u, tb, ell, shift, out_dtype,
                              interpret)
 
 
-def _fused_slots_fwd(ko, kc, u, tb, ell, shift, out_dtype, interpret):
-    return (_slots_pallas_fwd(ko, kc, u, tb, ell, shift, out_dtype,
-                              interpret),
-            (ko, kc, u))
+def _fused_slots_fwd(ko, kc, roots, u, tb, ell, shift, out_dtype,
+                     interpret):
+    return (_slots_pallas_fwd(ko, kc, roots, u, tb, ell, shift,
+                              out_dtype, interpret),
+            (ko, kc, roots, u))
 
 
 def _fused_slots_bwd(tb, ell, shift, out_dtype, interpret, res, g):
-    ko, kc, u = res
-    du = _slots_pallas_bwd(ko, kc, u, g.astype(jnp.float32), tb, ell,
-                           shift, interpret)
+    ko, kc, roots, u = res
+    du = _slots_pallas_bwd(ko, kc, roots, u, g.astype(jnp.float32), tb,
+                           ell, shift, interpret)
     f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-    return f0(ko), f0(kc), du
+    rz = None if roots is None else tuple(f0(r) for r in roots)
+    return f0(ko), f0(kc), rz, du
 
 
 _fused_slots.defvjp(_fused_slots_fwd, _fused_slots_bwd)
@@ -401,6 +459,8 @@ _fused_slots.defvjp(_fused_slots_fwd, _fused_slots_bwd)
 def fused_key_hidden_slots(kown: jax.Array, kcross_al: jax.Array,
                            u_ext: jax.Array, shift: int, tb: int = 8,
                            out_dtype=jnp.float32,
+                           root_own: jax.Array | None = None,
+                           root_cross: jax.Array | None = None,
                            interpret: bool | None = None) -> jax.Array:
     """Pair-summed per-slot hidden activations -> [Q, B, L, H] out_dtype
     (compute stays f32; a bf16 output halves the only HBM write this
@@ -417,7 +477,12 @@ def fused_key_hidden_slots(kown: jax.Array, kcross_al: jax.Array,
     bp = -(-b // tb) * tb
     ko, ellp = _pad_flatten(kown, tb, bp)
     kc, _ = _pad_flatten(kcross_al, tb, bp)
-    out = _fused_slots(ko, kc, u_ext, tb, ellp, shift,
+    roots = None
+    if root_own is not None:
+        ro, _ = _pad_flatten(root_own.astype(jnp.int32), tb, bp)
+        rc, _ = _pad_flatten(root_cross.astype(jnp.int32), tb, bp)
+        roots = (ro, rc)
+    out = _fused_slots(ko, kc, roots, u_ext, tb, ellp, shift,
                        jnp.dtype(out_dtype), interpret)
     return out[:, :b, :ell]
 
@@ -431,8 +496,13 @@ def fused_key_hidden_slots(kown: jax.Array, kcross_al: jax.Array,
 # XLA attention (the softmax VJP is not worth hand-writing while the
 # fwd dominates inference wall-clock).
 
-def _attn_fwd_kernel(shift, ko_ref, kc_ref, mo_ref, u_ref, gv_ref,
-                     out_ref):
+def _attn_fwd_kernel(shift, has_root, *refs):
+    if has_root:
+        ko_ref, kc_ref, mo_ref, ro_ref, rc_ref, u_ref, gv_ref, out_ref \
+            = refs
+    else:
+        ko_ref, kc_ref, mo_ref, u_ref, gv_ref, out_ref = refs
+        ro_ref = rc_ref = None
     p, tb, h = out_ref.shape
     nbx = u_ref.shape[0]
     ell = ko_ref.shape[1] // tb
@@ -441,8 +511,10 @@ def _attn_fwd_kernel(shift, ko_ref, kc_ref, mo_ref, u_ref, gv_ref,
     zeros = jnp.zeros((tb * ell,), jnp.float32)
     for pi in range(p):
         inv = 1.0 - mo_ref[pi].astype(jnp.float32)
-        beo, zo = _z_of(ko_ref[pi], inv, u, nbx, shift)
-        _, zc = _z_of(kc_ref[pi], zeros, u, nbx, shift)
+        beo, zo = _z_of(ko_ref[pi], inv, u, nbx, shift,
+                        None if ro_ref is None else ro_ref[pi])
+        _, zc = _z_of(kc_ref[pi], zeros, u, nbx, shift,
+                      None if rc_ref is None else rc_ref[pi])
         # the own-side NEG row already zeroed masked slots' hidden rows;
         # reuse be's (inv | ones) tail rows to add NEG*inv + gconst to
         # the gate without any lane->sublane relayout
@@ -465,6 +537,8 @@ def _attn_fwd_kernel(shift, ko_ref, kc_ref, mo_ref, u_ref, gv_ref,
 def fused_attn_pool(kown: jax.Array, kcross_al: jax.Array,
                     mask: jax.Array, u_ext: jax.Array, gvec: jax.Array,
                     gconst: jax.Array, shift: int, tb: int = 8,
+                    root_own: jax.Array | None = None,
+                    root_cross: jax.Array | None = None,
                     interpret: bool | None = None) -> jax.Array:
     """Masked attention pool over per-slot hidden rows -> [Q, B, H] f32.
 
@@ -490,16 +564,26 @@ def fused_attn_pool(kown: jax.Array, kcross_al: jax.Array,
     nbx = u_ext.shape[0]
     blk = lambda shape, imap: pl.BlockSpec(shape, imap,
                                            memory_space=pltpu.VMEM)
+    ins = [blk((q, tb * ellp), lambda i: (0, i)),
+           blk((q, tb * ellp), lambda i: (0, i)),
+           blk((q, tb * ellp), lambda i: (0, i))]
+    args = [ko, kc, mo]
+    if root_own is not None:
+        ro, _ = _pad_flatten(root_own.astype(jnp.int32), tb, bp)
+        rc, _ = _pad_flatten(root_cross.astype(jnp.int32), tb, bp)
+        ins += [blk((q, tb * ellp), lambda i: (0, i)),
+                blk((q, tb * ellp), lambda i: (0, i))]
+        args += [ro, rc]
+    ins += [blk((nbx, h), lambda i: (0, 0)),
+            blk((h + 1, 1), lambda i: (0, 0))]
+    args += [u_ext, gv]
     out = pl.pallas_call(
-        functools.partial(_attn_fwd_kernel, shift),
+        functools.partial(_attn_fwd_kernel, shift,
+                          root_own is not None),
         grid=(bp // tb,),
-        in_specs=[blk((q, tb * ellp), lambda i: (0, i)),
-                  blk((q, tb * ellp), lambda i: (0, i)),
-                  blk((q, tb * ellp), lambda i: (0, i)),
-                  blk((nbx, h), lambda i: (0, 0)),
-                  blk((h + 1, 1), lambda i: (0, 0))],
+        in_specs=ins,
         out_specs=blk((q, tb, h), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((q, bp, h), jnp.float32),
         interpret=interpret,
-    )(ko, kc, mo, u_ext, gv)
+    )(*args)
     return out[:, :b]

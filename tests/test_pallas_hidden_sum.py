@@ -373,3 +373,62 @@ def test_attn_inference_pool_kernel_matches_unfused():
     l1 = m1.apply(p, enc, joined)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_lead_in_hi_layout_fused_matches_unfused():
+    """The S=4, M=200 layout (ppa/tags-math) fills the lo word exactly
+    and keeps the root bit in hi: the join derives root PLANES from node
+    ids and every fused path (mean train+grads, attn, lstm, HONet)
+    matches the XLA reference."""
+    from surel_plus_tpu.models import HONet
+    from surel_plus_tpu.ops.join import make_keys_hjoin
+    from surel_plus_tpu.ops.walk import enc_field_layout
+
+    NW2, NS2 = 200, 4
+    assert enc_field_layout(NW2, NS2)[2] == 32   # truly lead-in-hi
+    g = rmat_graph(150, 700, seed=13)
+    spgk = sample_gsets_device_keys(
+        g, np.arange(150, dtype=np.int32), num_walks=NW2, num_steps=NS2,
+        seed=2, block_size=64)
+    rng = np.random.default_rng(14)
+    edges = jnp.asarray(rng.integers(0, 150, size=(2, 12)).astype(np.int32))
+    joined = make_keys_join(NW2, NS2)(spgk.nodes, spgk.khi, spgk.klo,
+                                      spgk.sizes, edges)
+    assert joined.kown_root is not None
+    enc = jnp.zeros((1, 1), jnp.float32)
+
+    for aggrs in ("mean", "attn", "lstm"):
+        kw = dict(input_dim=NS2 + 1, hidden_dim=16, aggrs=aggrs,
+                  dropout=0.0, dtype="float32", key_layout=(NW2, NS2))
+        m0 = Net(fused_hidden=False, **kw)
+        m1 = Net(fused_hidden=True, **kw)
+        p = m0.init(jax.random.PRNGKey(0), enc, joined)
+        l0 = m0.apply(p, enc, joined)
+        l1 = m1.apply(p, enc, joined)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   rtol=1e-5, atol=1e-5, err_msg=aggrs)
+    # gradients through the mean set-sum kernel with root planes
+    kwm = dict(input_dim=NS2 + 1, hidden_dim=16, aggrs="mean",
+               dropout=0.0, dtype="float32", key_layout=(NW2, NS2))
+    m0 = Net(fused_hidden=False, **kwm)
+    m1 = Net(fused_hidden=True, **kwm)
+    p = m0.init(jax.random.PRNGKey(0), enc, joined)
+    g0 = jax.grad(lambda q: (m0.apply(q, enc, joined) ** 2).sum())(p)
+    g1 = jax.grad(lambda q: (m1.apply(q, enc, joined) ** 2).sum())(p)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+    # HONet over hyperedges with the same layout
+    hedges = jnp.asarray(rng.integers(0, 150, size=(3, 8)).astype(np.int32))
+    hj = make_keys_hjoin(NW2, NS2)(spgk.nodes, spgk.khi, spgk.klo,
+                                   spgk.sizes, hedges)
+    assert hj.kown_root is not None
+    h0 = HONet(input_dim=NS2 + 1, hidden_dim=16, fused_hidden=False,
+               key_layout=(NW2, NS2))
+    h1 = HONet(input_dim=NS2 + 1, hidden_dim=16, fused_hidden=True,
+               key_layout=(NW2, NS2))
+    ph = h0.init(jax.random.PRNGKey(0), enc, hj)
+    np.testing.assert_allclose(
+        np.asarray(h1.apply(ph, enc, hj)),
+        np.asarray(h0.apply(ph, enc, hj)), rtol=1e-5, atol=1e-5)
