@@ -16,10 +16,45 @@ DeviceTrainer): one epoch = one XLA program; the host pulls scalars only.
 """
 
 import json
+import os
+import socket
 import sys
 import time
 
 import numpy as np
+
+
+def _await_tunnel(port: int = 8103, minutes: int = 10) -> None:
+    """The axon TPU relay can die (see CLAUDE.md, r2 outage): every
+    device op then hangs forever. Fail fast with a clear message instead
+    of hanging the driver's bench run; retry for a few minutes first in
+    case the relay is mid-restart."""
+    if os.environ.get("JAX_PLATFORMS", "") != "axon" \
+            and os.environ.get("SUREL_PLATFORM", "") not in ("", "axon"):
+        return
+    if os.environ.get("JAX_PLATFORMS", "") != "axon":
+        return
+    deadline = time.time() + minutes * 60
+    while time.time() < deadline:
+        s = socket.socket()
+        s.settimeout(2)
+        try:
+            s.connect(("127.0.0.1", port))
+            return
+        except OSError:
+            time.sleep(15)
+        finally:
+            s.close()
+    print(json.dumps({
+        "metric": "train_queries_per_s", "value": 0.0,
+        "unit": "queries/s", "vs_baseline": 0.0,
+        "error": f"axon TPU relay unreachable on 127.0.0.1:{port} "
+                 f"for {minutes} min — cannot bench",
+    }))
+    sys.exit(1)
+
+
+_await_tunnel()
 
 BASELINE_QPS = 10_000 / 0.35  # paper Table 4: 0.35 s / 10K queries (A100)
 # C reference gset_sampler on this box (PARITY.md): ~22k sets/s at the
