@@ -168,13 +168,13 @@ class Net(nn.Module):
                 # and only the scalar gate is computed per slot
                 w2, bias2 = pe.project_raw()
                 c2 = 2.0 * bias2.astype(jnp.float32)[None]
-                if (not train and joined.kown is not None
+                if (joined.kown is not None
                         and joined.kcross_al is not None
                         and self.key_layout is not None):
-                    # inference: one Pallas pass keys -> pooled; the
-                    # per-slot hidden rows never reach HBM at all (the
-                    # hsum computed above goes dead and XLA removes
-                    # its kernel call)
+                    # one Pallas pass keys -> pooled (custom VJP): the
+                    # per-slot hidden rows never reach HBM in either
+                    # direction (the hsum computed above goes dead and
+                    # XLA removes its kernel call)
                     nw, ns = self.key_layout
                     w1, b1 = pe.hidden_raw(ns + 1)
                     u_ext = jnp.concatenate(

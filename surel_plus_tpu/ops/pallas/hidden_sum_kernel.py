@@ -488,13 +488,40 @@ def fused_key_hidden_slots(kown: jax.Array, kcross_al: jax.Array,
 
 
 # ---------------------------------------------------------------------------
-# Fused attention pooling (inference): keys -> hidden -> scalar gate ->
-# masked softmax -> weighted pool, entirely in VMEM. With the
-# projection/value folds (models/layers.py AttentionAggregation.folded)
-# the gate is the only per-slot consumer, so nothing [.., L, h]-sized
-# ever reaches HBM. Forward-only: training uses the per-slot kernel +
-# XLA attention (the softmax VJP is not worth hand-writing while the
-# fwd dominates inference wall-clock).
+# Fused attention pooling: keys -> hidden -> scalar gate -> masked
+# softmax -> weighted pool, entirely in VMEM. With the projection/value
+# folds (models/layers.py AttentionAggregation.folded) the gate is the
+# only per-slot consumer, so nothing [.., L, h]-sized ever reaches HBM
+# in EITHER direction: the custom-VJP backward recomputes the hidden
+# rows from the keys and runs the softmax VJP in-kernel, contracting
+# dU/dgate-vector on the MXU.
+
+def _attn_state(pi, shift, tb, ell, h, nbx, u, gv, ko_ref, kc_ref,
+                mo_ref, ro_ref, rc_ref):
+    """Recompute (be_own, be_cross, zo, zc, hs, a) for endpoint pi."""
+    zeros = jnp.zeros((tb * ell,), jnp.float32)
+    inv = 1.0 - mo_ref[pi].astype(jnp.float32)
+    beo, zo = _z_of(ko_ref[pi], inv, u, nbx, shift,
+                    None if ro_ref is None else ro_ref[pi])
+    bec, zc = _z_of(kc_ref[pi], zeros, u, nbx, shift,
+                    None if rc_ref is None else rc_ref[pi])
+    # the own-side NEG row already zeroed masked slots' hidden rows;
+    # reuse be's (inv | ones) tail rows to add NEG*inv + gconst to
+    # the gate without any lane->sublane relayout
+    hs = jnp.maximum(zo, 0.0) + jnp.maximum(zc, 0.0)       # [R, H]
+    gtail = jnp.concatenate(
+        [jnp.full((1, 1), NEG, jnp.float32), gv[h:]], axis=0)
+    gate = (jnp.dot(hs, gv[:h], preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(
+                beo[nbx - 2:], gtail,
+                dimension_numbers=_CONTRACT_BITS,
+                preferred_element_type=jnp.float32))       # [R, 1]
+    gate = gate.reshape(tb, ell, 1)
+    gate = gate - gate.max(axis=1, keepdims=True)
+    e = jnp.exp(gate)
+    a = e / e.sum(axis=1, keepdims=True)                   # [tb, ell, 1]
+    return beo, bec, zo, zc, hs, a
+
 
 def _attn_fwd_kernel(shift, has_root, *refs):
     if has_root:
@@ -508,30 +535,136 @@ def _attn_fwd_kernel(shift, has_root, *refs):
     ell = ko_ref.shape[1] // tb
     u = u_ref[:]
     gv = gv_ref[:]          # [H + 1, 1]: gate vector | gconst row
-    zeros = jnp.zeros((tb * ell,), jnp.float32)
     for pi in range(p):
-        inv = 1.0 - mo_ref[pi].astype(jnp.float32)
-        beo, zo = _z_of(ko_ref[pi], inv, u, nbx, shift,
-                        None if ro_ref is None else ro_ref[pi])
-        _, zc = _z_of(kc_ref[pi], zeros, u, nbx, shift,
-                      None if rc_ref is None else rc_ref[pi])
-        # the own-side NEG row already zeroed masked slots' hidden rows;
-        # reuse be's (inv | ones) tail rows to add NEG*inv + gconst to
-        # the gate without any lane->sublane relayout
-        hs = jnp.maximum(zo, 0.0) + jnp.maximum(zc, 0.0)   # [R, H]
-        gtail = jnp.concatenate(
-            [jnp.full((1, 1), NEG, jnp.float32), gv[h:]], axis=0)
-        gate = (jnp.dot(hs, gv[:h], preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(
-                    beo[nbx - 2:], gtail,
-                    dimension_numbers=_CONTRACT_BITS,
-                    preferred_element_type=jnp.float32))   # [R, 1]
-        gate = gate.reshape(tb, ell, 1)
-        gate = gate - jax.lax.stop_gradient(gate.max(axis=1,
-                                                     keepdims=True))
-        e = jnp.exp(gate)
-        a = e / e.sum(axis=1, keepdims=True)               # [tb, ell, 1]
+        _, _, _, _, hs, a = _attn_state(pi, shift, tb, ell, h, nbx, u,
+                                        gv, ko_ref, kc_ref, mo_ref,
+                                        ro_ref, rc_ref)
         out_ref[pi] = (a * hs.reshape(tb, ell, h)).sum(axis=1)
+
+
+def _attn_bwd_kernel(shift, has_root, *refs):
+    if has_root:
+        (ko_ref, kc_ref, mo_ref, ro_ref, rc_ref, u_ref, gv_ref, g_ref,
+         du_ref, dgv_ref) = refs
+    else:
+        (ko_ref, kc_ref, mo_ref, u_ref, gv_ref, g_ref, du_ref,
+         dgv_ref) = refs
+        ro_ref = rc_ref = None
+    i = pl.program_id(0)
+    p, tb, h = g_ref.shape
+    nbx = u_ref.shape[0]
+    ell = ko_ref.shape[1] // tb
+    u = u_ref[:]
+    gv = gv_ref[:]
+    du_a = jnp.zeros((nbx, h), jnp.float32)
+    dgv_a = jnp.zeros((h + 1, 1), jnp.float32)
+    for pi in range(p):
+        beo, bec, zo, zc, hs, a = _attn_state(
+            pi, shift, tb, ell, h, nbx, u, gv, ko_ref, kc_ref, mo_ref,
+            ro_ref, rc_ref)
+        hs3 = hs.reshape(tb, ell, h)
+        gb = jnp.broadcast_to(g_ref[pi][:, None, :], (tb, ell, h))
+        da = (hs3 * gb).sum(axis=2, keepdims=True)         # [tb, ell, 1]
+        # softmax VJP within each set: dgate = a * (da - sum a*da)
+        dgate = a * (da - (a * da).sum(axis=1, keepdims=True))
+        # dhs = a * dout (pool term) + dgate * gvec^T (gate term)
+        dhs = (a * gb + dgate * gv[:h].reshape(1, 1, h)
+               ).reshape(tb * ell, h)
+        dgv_a += jnp.concatenate([
+            jax.lax.dot_general(hs, dgate.reshape(tb * ell, 1),
+                                dimension_numbers=_CONTRACT_BITS,
+                                preferred_element_type=jnp.float32),
+            dgate.sum(axis=(0, 1))[None],
+        ], axis=0)
+        dzo = jnp.where(zo > 0, dhs, 0.0)
+        dzc = jnp.where(zc > 0, dhs, 0.0)
+        du_a += jnp.dot(beo, dzo, preferred_element_type=jnp.float32)
+        du_a += jnp.dot(bec, dzc, preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        du_ref[:] = jnp.zeros_like(du_ref)
+        dgv_ref[:] = jnp.zeros_like(dgv_ref)
+
+    du_ref[:] += du_a
+    dgv_ref[:] += dgv_a
+
+
+def _attn_specs(q, tb, ellp, nbx, h, has_root):
+    blk = lambda shape, imap: pl.BlockSpec(shape, imap,
+                                           memory_space=pltpu.VMEM)
+    ins = [blk((q, tb * ellp), lambda i: (0, i)),
+           blk((q, tb * ellp), lambda i: (0, i)),
+           blk((q, tb * ellp), lambda i: (0, i))]
+    if has_root:
+        ins += [blk((q, tb * ellp), lambda i: (0, i)),
+                blk((q, tb * ellp), lambda i: (0, i))]
+    ins += [blk((nbx, h), lambda i: (0, 0)),
+            blk((h + 1, 1), lambda i: (0, 0))]
+    out = blk((q, tb, h), lambda i: (0, i, 0))
+    return ins, out, blk
+
+
+def _attn_pallas_fwd(ko, kc, mo, roots, u, gv, tb, ellp, shift,
+                     interpret):
+    q = ko.shape[0]
+    bp = ko.shape[1] // ellp
+    nbx, h = u.shape
+    ins, out, _ = _attn_specs(q, tb, ellp, nbx, h, roots is not None)
+    args = (ko, kc, mo) + (roots or ()) + (u, gv)
+    return pl.pallas_call(
+        functools.partial(_attn_fwd_kernel, shift, roots is not None),
+        grid=(bp // tb,),
+        in_specs=ins,
+        out_specs=out,
+        out_shape=jax.ShapeDtypeStruct((q, bp, h), jnp.float32),
+        interpret=interpret,
+    )(*args)
+
+
+def _attn_pallas_bwd(ko, kc, mo, roots, u, gv, g, tb, ellp, shift,
+                     interpret):
+    q = ko.shape[0]
+    bp = ko.shape[1] // ellp
+    nbx, h = u.shape
+    ins, out, blk = _attn_specs(q, tb, ellp, nbx, h, roots is not None)
+    args = (ko, kc, mo) + (roots or ()) + (u, gv, g)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, shift, roots is not None),
+        grid=(bp // tb,),
+        in_specs=ins + [out],
+        out_specs=(blk((nbx, h), lambda i: (0, 0)),
+                   blk((h + 1, 1), lambda i: (0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((nbx, h), jnp.float32),
+                   jax.ShapeDtypeStruct((h + 1, 1), jnp.float32)),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _fused_attn(ko, kc, mo, roots, u, gv, tb, ellp, shift, interpret):
+    return _attn_pallas_fwd(ko, kc, mo, roots, u, gv, tb, ellp, shift,
+                            interpret)
+
+
+def _fused_attn_fwd(ko, kc, mo, roots, u, gv, tb, ellp, shift,
+                    interpret):
+    return (_attn_pallas_fwd(ko, kc, mo, roots, u, gv, tb, ellp, shift,
+                             interpret),
+            (ko, kc, mo, roots, u, gv))
+
+
+def _fused_attn_bwd(tb, ellp, shift, interpret, res, g):
+    ko, kc, mo, roots, u, gv = res
+    du, dgv = _attn_pallas_bwd(ko, kc, mo, roots, u, gv,
+                               g.astype(jnp.float32), tb, ellp, shift,
+                               interpret)
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    rz = None if roots is None else tuple(f0(r) for r in roots)
+    return f0(ko), f0(kc), f0(mo), rz, du, dgv
+
+
+_fused_attn.defvjp(_fused_attn_fwd, _fused_attn_bwd)
 
 
 def fused_attn_pool(kown: jax.Array, kcross_al: jax.Array,
@@ -545,7 +678,9 @@ def fused_attn_pool(kown: jax.Array, kcross_al: jax.Array,
     kown/kcross_al: uint32 [Q, B, L] slot-aligned packed keys; mask
     bool [Q, B, L]; u_ext as in fused_key_hidden_sum (its NEG row zeroes
     masked slots' hidden rows AND drives the gate's -inf); gvec [H, 1]
-    f32 (the folded gate vector W2 @ wg), gconst [1, 1]. Forward-only.
+    f32 (the folded gate vector W2 @ wg), gconst [1, 1]. Differentiable
+    wrt u_ext/gvec/gconst (in-kernel softmax VJP with hidden rows
+    recomputed from the keys).
 
     Masked slots' gates get +NEG (their softmax weight underflows to 0),
     and sets are never empty, so the weights sum to 1 over valid slots —
@@ -561,29 +696,11 @@ def fused_attn_pool(kown: jax.Array, kcross_al: jax.Array,
     gv = jnp.concatenate([gvec.astype(jnp.float32),
                           gconst.reshape(1, 1).astype(jnp.float32)],
                          axis=0)
-    nbx = u_ext.shape[0]
-    blk = lambda shape, imap: pl.BlockSpec(shape, imap,
-                                           memory_space=pltpu.VMEM)
-    ins = [blk((q, tb * ellp), lambda i: (0, i)),
-           blk((q, tb * ellp), lambda i: (0, i)),
-           blk((q, tb * ellp), lambda i: (0, i))]
-    args = [ko, kc, mo]
+    roots = None
     if root_own is not None:
         ro, _ = _pad_flatten(root_own.astype(jnp.int32), tb, bp)
         rc, _ = _pad_flatten(root_cross.astype(jnp.int32), tb, bp)
-        ins += [blk((q, tb * ellp), lambda i: (0, i)),
-                blk((q, tb * ellp), lambda i: (0, i))]
-        args += [ro, rc]
-    ins += [blk((nbx, h), lambda i: (0, 0)),
-            blk((h + 1, 1), lambda i: (0, 0))]
-    args += [u_ext, gv]
-    out = pl.pallas_call(
-        functools.partial(_attn_fwd_kernel, shift,
-                          root_own is not None),
-        grid=(bp // tb,),
-        in_specs=ins,
-        out_specs=blk((q, tb, h), lambda i: (0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((q, bp, h), jnp.float32),
-        interpret=interpret,
-    )(*args)
+        roots = (ro, rc)
+    out = _fused_attn(ko, kc, mo, roots, u_ext, gv, tb, ellp, shift,
+                      interpret)
     return out[:, :b]

@@ -432,3 +432,36 @@ def test_lead_in_hi_layout_fused_matches_unfused():
     np.testing.assert_allclose(
         np.asarray(h1.apply(ph, enc, hj)),
         np.asarray(h0.apply(ph, enc, hj)), rtol=1e-5, atol=1e-5)
+
+
+def test_attn_pool_kernel_grads_match_unfused():
+    """Attention training through the fused pool kernel (custom VJP):
+    parameter gradients match the unfused XLA path."""
+    g = rmat_graph(200, 1000, seed=15)
+    spgk = sample_gsets_device_keys(
+        g, np.arange(200, dtype=np.int32), num_walks=NW, num_steps=NS,
+        seed=2, block_size=64)
+    rng = np.random.default_rng(16)
+    edges = jnp.asarray(rng.integers(0, 200, size=(2, 16)).astype(np.int32))
+    joined = make_keys_join(NW, NS)(spgk.nodes, spgk.khi, spgk.klo,
+                                    spgk.sizes, edges)
+
+    kw = dict(input_dim=NS + 1, hidden_dim=16, aggrs="attn",
+              dropout=0.0, dtype="float32", key_layout=(NW, NS))
+    m0 = Net(fused_hidden=False, **kw)
+    m1 = Net(fused_hidden=True, **kw)
+    enc = jnp.zeros((1, 1), jnp.float32)
+    p = m0.init(jax.random.PRNGKey(0), enc, joined)
+    rngs = {"dropout": jax.random.PRNGKey(1)}
+
+    def loss(q, m):
+        out = m.apply(q, enc, joined, None, train=True, rngs=rngs)
+        return (out ** 2).sum()
+
+    g0 = jax.grad(loss)(p, m0)
+    g1 = jax.grad(loss)(p, m1)
+    for (k, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                              jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(k))
