@@ -49,7 +49,14 @@ def _await_tunnel(port: int = 8103, minutes: int = 10) -> None:
         "metric": "train_queries_per_s", "value": 0.0,
         "unit": "queries/s", "vs_baseline": 0.0,
         "error": f"axon TPU relay unreachable on 127.0.0.1:{port} "
-                 f"for {minutes} min — cannot bench",
+                 f"for {minutes} min — cannot bench (relay died "
+                 "2026-08-17, see CLAUDE.md)",
+        # last driver-verified run of this same script (same code path),
+        # 2026-08-17 pre-outage: informational only, NOT a fresh sample
+        "last_measured": {"train_queries_per_s": 558696.6,
+                          "vs_baseline": 19.554,
+                          "inference_queries_per_s": 784946.1,
+                          "sets_per_s": 383081.8, "train_mfu": 0.197},
     }))
     sys.exit(1)
 
