@@ -206,11 +206,16 @@ class LSTMAggregation(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array, *,
-                 fast: bool = False, fold=None) -> jax.Array:
+                 fast: bool = False, fold=None, keys=None) -> jax.Array:
         """fold=(w2, c2): x is the PRE-projection hsum and the affine
         upstream projection x' = x @ w2 + c2 folds into the input
         weights (wi' = w2 @ wi, bh' = bh + c2 @ wi) — the projected
-        per-slot tensor never materializes. Same parameter tree."""
+        per-slot tensor never materializes. Same parameter tree.
+
+        keys=(kown, kcross_al, mask, u_ext, shift, root_own,
+        root_cross): run the recurrence DIRECTLY from the packed keys
+        (ops/pallas/lstm_kernel.py lstm_from_keys) — x is then only a
+        shape/param template and even the hidden rows stay in VMEM."""
         *batch_shape, L, h = x.shape
         H = self.hidden_dim
         xf = x.reshape((-1, L, h))
@@ -229,6 +234,15 @@ class LSTMAggregation(nn.Module):
         else:
             wi_eff, bh_eff = wi, bh.astype(jnp.float32)
 
+        if fast and keys is not None:
+            from surel_plus_tpu.ops.pallas.lstm_kernel import (
+                lstm_from_keys)
+
+            kown, kcross_al, kmask, u_ext, shift, ro, rc = keys
+            hidden = lstm_from_keys(kown, kcross_al, kmask, u_ext,
+                                    wi_eff, wh, bh_eff, shift,
+                                    root_own=ro, root_cross=rc)
+            return hidden.astype(x.dtype).reshape((*batch_shape, H))
         if fast:
             # VMEM-resident Pallas recurrence with in-kernel chunked
             # BPTT (ops/pallas/lstm_kernel.py); the scan below is the

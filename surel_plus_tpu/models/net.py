@@ -199,7 +199,24 @@ class Net(nn.Module):
                 # weights (x = hsum @ W2 + 2*b2, see the attn branch)
                 w2, bias2 = pe.project_raw()
                 c2 = 2.0 * bias2.astype(jnp.float32)[None]
-                agg = aggr(hsum, joined.mask, fast=True, fold=(w2, c2))
+                keys = None
+                if (joined.kown is not None
+                        and joined.kcross_al is not None
+                        and self.key_layout is not None):
+                    # recurrence straight from the packed keys: the
+                    # per-slot hsum above goes dead and XLA removes it
+                    nw, ns = self.key_layout
+                    w1, b1 = pe.hidden_raw(ns + 1)
+                    u_ext = jnp.concatenate(
+                        [u_core_rows(w1, nw, ns),
+                         jnp.full((1, self.hidden_dim), NEG,
+                                  jnp.float32),
+                         b1.astype(jnp.float32)[None]], axis=0)
+                    keys = (joined.kown, joined.kcross_al, joined.mask,
+                            u_ext, int(nw).bit_length(),
+                            joined.kown_root, joined.kcross_al_root)
+                agg = aggr(hsum, joined.mask, fast=True, fold=(w2, c2),
+                           keys=keys)
             else:
                 x = pe.project(hsum) + b2v
                 agg = aggr(x, joined.mask)

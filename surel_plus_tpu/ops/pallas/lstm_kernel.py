@@ -281,3 +281,372 @@ def lstm_final_hidden(x: jax.Array, mask: jax.Array, wi: jax.Array,
                 bh.reshape(1, -1).astype(jnp.float32), tb, chunk,
                 interpret)
     return out[:b]
+
+
+# ---------------------------------------------------------------------------
+# Mega-fusion: LSTM directly from packed keys. The per-slot hidden rows
+# hs = relu(f(kown) U) + relu(f(kcross) U) are computed into VMEM
+# scratch (chunked over L) and the recurrence runs off that scratch; the
+# backward extends the chunked BPTT to write per-step dhs into scratch
+# and contract dU = fields^T dz in-kernel — so, unlike the hsum + fold
+# pipeline, nothing [B, L, h]-sized ever reaches HBM in either
+# direction. The projection fold (models/layers.py) rides the effective
+# input weights wi_f = W2 @ wi and bias bh_f = bh + c2 @ wi.
+
+def _hs_into(hs_ref, ko_ref, kc_ref, ro_ref, rc_ref, u, shift, ell,
+             rchunk):
+    """Fill hs_ref [tb, ell, H] with the pair-summed hidden rows.
+
+    Key refs are FLAT [1, tb*ell] lane vectors (row-major), so the work
+    chunks over ROWS (contiguous flat slices) to bound z temporaries."""
+    from surel_plus_tpu.ops.pallas.hidden_sum_kernel import _z_of
+
+    tb, _, hh = hs_ref.shape
+    nbx = u.shape[0]
+    for r0 in range(0, tb, rchunk):
+        rc_n = min(rchunk, tb - r0)
+        sl = slice(r0 * ell, (r0 + rc_n) * ell)
+        zeros = jnp.zeros((rc_n * ell,), jnp.float32)
+        ro = None if ro_ref is None else ro_ref[0, sl]
+        rr = None if rc_ref is None else rc_ref[0, sl]
+        _, zo = _z_of(ko_ref[0, sl], zeros, u, nbx, shift, ro)
+        _, zc = _z_of(kc_ref[0, sl], zeros, u, nbx, shift, rr)
+        hs = jnp.maximum(zo, 0.0) + jnp.maximum(zc, 0.0)
+        hs_ref[r0:r0 + rc_n] = hs.reshape(rc_n, ell, hh)
+
+
+def _du_from_dhs(ko_ref, kc_ref, ro_ref, rc_ref, dhs_ref, u, shift,
+                 ell, rchunk):
+    """dU = sum over slots of fields^T ((z > 0) * dhs), both sides."""
+    from surel_plus_tpu.ops.pallas.hidden_sum_kernel import _z_of
+
+    tb = dhs_ref.shape[0]
+    nbx = u.shape[0]
+    acc = jnp.zeros(u.shape, jnp.float32)
+    for r0 in range(0, tb, rchunk):
+        rc_n = min(rchunk, tb - r0)
+        sl = slice(r0 * ell, (r0 + rc_n) * ell)
+        dhs = dhs_ref[r0:r0 + rc_n].reshape(rc_n * ell, u.shape[1])
+        zeros = jnp.zeros((rc_n * ell,), jnp.float32)
+        for k_ref, r_ref in ((ko_ref, ro_ref), (kc_ref, rc_ref)):
+            r = None if r_ref is None else r_ref[0, sl]
+            be, z = _z_of(k_ref[0, sl], zeros, u, nbx, shift, r)
+            dz = jnp.where(z > 0, dhs, 0.0)
+            acc += jnp.dot(be, dz, preferred_element_type=jnp.float32)
+    return acc
+
+
+_ZCHUNK = 8   # rows per hidden-recompute chunk
+
+
+def _klstm_fwd_kernel(ell, shift, has_root, *refs):
+    if has_root:
+        (ko_ref, kc_ref, ro_ref, rc_ref, mk_ref, u_ref, wi_ref, wh_ref,
+         bh_ref, out_ref, hs_ref) = refs
+    else:
+        (ko_ref, kc_ref, mk_ref, u_ref, wi_ref, wh_ref, bh_ref,
+         out_ref, hs_ref) = refs
+        ro_ref = rc_ref = None
+    tb = mk_ref.shape[0]
+    hh = wh_ref.shape[0]
+    u = u_ref[:]
+    wi = wi_ref[:]
+    wh = wh_ref[:]
+    bh = bh_ref[:]
+    _hs_into(hs_ref, ko_ref, kc_ref, ro_ref, rc_ref, u, shift, ell,
+             _ZCHUNK)
+
+    def step(t, carry):
+        c, hid = carry
+        xt = hs_ref[:, pl.ds(t, 1), :].reshape(tb, u.shape[1])
+        gates = (jnp.dot(xt, wi, preferred_element_type=jnp.float32)
+                 + jnp.dot(hid, wh, preferred_element_type=jnp.float32)
+                 + bh)
+        gi = jax.nn.sigmoid(gates[:, :hh])
+        gf = jax.nn.sigmoid(gates[:, hh:2 * hh])
+        gg = jnp.tanh(gates[:, 2 * hh:3 * hh])
+        go = jax.nn.sigmoid(gates[:, 3 * hh:])
+        nc = gf * c + gi * gg
+        nh = go * jnp.tanh(nc)
+        keep = mk_ref[:, pl.ds(t, 1)] > 0
+        return (jnp.where(keep, nc, c), jnp.where(keep, nh, hid))
+
+    zero = jnp.zeros((tb, hh), jnp.float32)
+    _, hid = jax.lax.fori_loop(0, ell, step, (zero, zero))
+    out_ref[:] = hid
+
+
+def _klstm_bwd_kernel(ell, chunk, shift, has_root, *refs):
+    if has_root:
+        (ko_ref, kc_ref, ro_ref, rc_ref, mk_ref, u_ref, wi_ref, wh_ref,
+         bh_ref, g_ref, du_ref, dwi_ref, dwh_ref, dbh_ref,
+         hs_ref, dhs_ref, bc_ref, bhh_ref, sc_ref, shp_ref, sg_ref,
+         snc_ref) = refs
+    else:
+        (ko_ref, kc_ref, mk_ref, u_ref, wi_ref, wh_ref, bh_ref, g_ref,
+         du_ref, dwi_ref, dwh_ref, dbh_ref,
+         hs_ref, dhs_ref, bc_ref, bhh_ref, sc_ref, shp_ref, sg_ref,
+         snc_ref) = refs
+        ro_ref = rc_ref = None
+    pid = pl.program_id(0)
+    tb = mk_ref.shape[0]
+    hd = wi_ref.shape[0]
+    hh = wh_ref.shape[0]
+    nch = ell // chunk
+    u = u_ref[:]
+    wi = wi_ref[:]
+    wh = wh_ref[:]
+    bh = bh_ref[:]
+    zero = jnp.zeros((tb, hh), jnp.float32)
+    _hs_into(hs_ref, ko_ref, kc_ref, ro_ref, rc_ref, u, shift, ell,
+             _ZCHUNK)
+
+    def gates_of(c, hid, t):
+        xt = hs_ref[:, pl.ds(t, 1), :].reshape(tb, hd)
+        a = (jnp.dot(xt, wi, preferred_element_type=jnp.float32)
+             + jnp.dot(hid, wh, preferred_element_type=jnp.float32) + bh)
+        gi = jax.nn.sigmoid(a[:, :hh])
+        gf = jax.nn.sigmoid(a[:, hh:2 * hh])
+        gg = jnp.tanh(a[:, 2 * hh:3 * hh])
+        go = jax.nn.sigmoid(a[:, 3 * hh:])
+        nc = gf * c + gi * gg
+        nh = go * jnp.tanh(nc)
+        keep = mk_ref[:, pl.ds(t, 1)] > 0
+        return gi, gf, gg, go, nc, nh, keep
+
+    def fstep(t, carry):
+        c, hid = carry
+        _, _, _, _, nc, nh, keep = gates_of(c, hid, t)
+        return (jnp.where(keep, nc, c), jnp.where(keep, nh, hid))
+
+    c = zero
+    hid = zero
+    for ci in range(nch):
+        bc_ref[ci] = c
+        bhh_ref[ci] = hid
+        c, hid = jax.lax.fori_loop(ci * chunk, (ci + 1) * chunk, fstep,
+                                   (c, hid))
+
+    dh = g_ref[:]
+    dc = zero
+    dwi_a = jnp.zeros((hd, 4 * hh), jnp.float32)
+    dwh_a = jnp.zeros((hh, 4 * hh), jnp.float32)
+    dbh_a = jnp.zeros((1, 4 * hh), jnp.float32)
+    for ci in reversed(range(nch)):
+        def rstep(j, carry, ci=ci):
+            c, hid = carry
+            gi, gf, gg, go, nc, nh, keep = gates_of(c, hid,
+                                                    ci * chunk + j)
+            sc_ref[pl.ds(j, 1)] = c[None]
+            shp_ref[pl.ds(j, 1)] = hid[None]
+            sg_ref[pl.ds(j, 1)] = jnp.concatenate(
+                [gi, gf, gg, go], axis=1)[None]
+            snc_ref[pl.ds(j, 1)] = nc[None]
+            return (jnp.where(keep, nc, c), jnp.where(keep, nh, hid))
+
+        jax.lax.fori_loop(0, chunk, rstep, (bc_ref[ci], bhh_ref[ci]))
+
+        def bstep(jr, carry, ci=ci):
+            dc, dh, dwi_a, dwh_a, dbh_a = carry
+            j = chunk - 1 - jr
+            t = ci * chunk + j
+            cp = sc_ref[pl.ds(j, 1)].reshape(tb, hh)
+            hp = shp_ref[pl.ds(j, 1)].reshape(tb, hh)
+            gp = sg_ref[pl.ds(j, 1)].reshape(tb, 4 * hh)
+            nc = snc_ref[pl.ds(j, 1)].reshape(tb, hh)
+            keep = mk_ref[:, pl.ds(t, 1)] > 0
+            gi = gp[:, :hh]
+            gf = gp[:, hh:2 * hh]
+            gg = gp[:, 2 * hh:3 * hh]
+            go = gp[:, 3 * hh:]
+            tnc = jnp.tanh(nc)
+            dgo = dh * tnc * go * (1.0 - go)
+            dnc = dc + dh * go * (1.0 - tnc * tnc)
+            dgi = dnc * gg * gi * (1.0 - gi)
+            dgf = dnc * cp * gf * (1.0 - gf)
+            dgg = dnc * gi * (1.0 - gg * gg)
+            dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=1)
+            dgates = jnp.where(keep, dgates, 0.0)
+            xt = hs_ref[:, pl.ds(t, 1), :].reshape(tb, hd)
+            cdim = (((0,), (0,)), ((), ()))
+            dwi_a += jax.lax.dot_general(
+                xt, dgates, dimension_numbers=cdim,
+                preferred_element_type=jnp.float32)
+            dwh_a += jax.lax.dot_general(
+                hp, dgates, dimension_numbers=cdim,
+                preferred_element_type=jnp.float32)
+            dbh_a += dgates.sum(axis=0, keepdims=True)
+            cT = (((1,), (1,)), ((), ()))
+            dhs_ref[:, pl.ds(t, 1), :] = jax.lax.dot_general(
+                dgates, wi, dimension_numbers=cT,
+                preferred_element_type=jnp.float32)[:, None, :]
+            dhp = jax.lax.dot_general(
+                dgates, wh, dimension_numbers=cT,
+                preferred_element_type=jnp.float32) \
+                + jnp.where(keep, 0.0, dh)
+            dcp = jnp.where(keep, dnc * gf, dc)
+            return (dcp, dhp, dwi_a, dwh_a, dbh_a)
+
+        dc, dh, dwi_a, dwh_a, dbh_a = jax.lax.fori_loop(
+            0, chunk, bstep, (dc, dh, dwi_a, dwh_a, dbh_a))
+
+    du_a = _du_from_dhs(ko_ref, kc_ref, ro_ref, rc_ref, dhs_ref, u,
+                        shift, ell, _ZCHUNK)
+
+    @pl.when(pid == 0)
+    def _():
+        du_ref[:] = jnp.zeros_like(du_ref)
+        dwi_ref[:] = jnp.zeros_like(dwi_ref)
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
+        dbh_ref[:] = jnp.zeros_like(dbh_ref)
+
+    du_ref[:] += du_a
+    dwi_ref[:] += dwi_a
+    dwh_ref[:] += dwh_a
+    dbh_ref[:] += dbh_a
+
+
+def _klstm_specs(tb, ell, nbx, hd, hh, has_root):
+    blk = lambda shape, imap: pl.BlockSpec(shape, imap,
+                                           memory_space=pltpu.VMEM)
+    ins = [blk((1, tb * ell), lambda i: (0, i)),
+           blk((1, tb * ell), lambda i: (0, i))]
+    if has_root:
+        ins += [blk((1, tb * ell), lambda i: (0, i)),
+                blk((1, tb * ell), lambda i: (0, i))]
+    ins += [blk((tb, ell), lambda i: (i, 0)),
+            blk((nbx, hd), lambda i: (0, 0)),
+            blk((hd, 4 * hh), lambda i: (0, 0)),
+            blk((hh, 4 * hh), lambda i: (0, 0)),
+            blk((1, 4 * hh), lambda i: (0, 0))]
+    return ins, blk
+
+
+def _klstm_fwd_call(ko, kc, roots, mk, u, wi, wh, bh, tb, ell, shift,
+                    interpret):
+    b2 = mk.shape[0]
+    nbx, hd = u.shape
+    hh = wh.shape[0]
+    ins, blk = _klstm_specs(tb, ell, nbx, hd, hh, roots is not None)
+    args = (ko, kc) + (roots or ()) + (mk, u, wi, wh, bh)
+    return pl.pallas_call(
+        functools.partial(_klstm_fwd_kernel, ell, shift,
+                          roots is not None),
+        grid=(b2 // tb,),
+        in_specs=ins,
+        out_specs=blk((tb, hh), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b2, hh), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tb, ell, hd), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+
+
+def _klstm_bwd_call(ko, kc, roots, mk, u, wi, wh, bh, g, tb, ell,
+                    chunk, shift, interpret):
+    b2 = mk.shape[0]
+    nbx, hd = u.shape
+    hh = wh.shape[0]
+    nch = ell // chunk
+    ins, blk = _klstm_specs(tb, ell, nbx, hd, hh, roots is not None)
+    args = (ko, kc) + (roots or ()) + (mk, u, wi, wh, bh, g)
+    return pl.pallas_call(
+        functools.partial(_klstm_bwd_kernel, ell, chunk, shift,
+                          roots is not None),
+        grid=(b2 // tb,),
+        in_specs=ins + [blk((tb, hh), lambda i: (i, 0))],
+        out_specs=(blk((nbx, hd), lambda i: (0, 0)),
+                   blk((hd, 4 * hh), lambda i: (0, 0)),
+                   blk((hh, 4 * hh), lambda i: (0, 0)),
+                   blk((1, 4 * hh), lambda i: (0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((nbx, hd), jnp.float32),
+                   jax.ShapeDtypeStruct((hd, 4 * hh), jnp.float32),
+                   jax.ShapeDtypeStruct((hh, 4 * hh), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 4 * hh), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((tb, ell, hd), jnp.float32),
+                        pltpu.VMEM((tb, ell, hd), jnp.float32),
+                        pltpu.VMEM((nch, tb, hh), jnp.float32),
+                        pltpu.VMEM((nch, tb, hh), jnp.float32),
+                        pltpu.VMEM((chunk, tb, hh), jnp.float32),
+                        pltpu.VMEM((chunk, tb, hh), jnp.float32),
+                        pltpu.VMEM((chunk, tb, 4 * hh), jnp.float32),
+                        pltpu.VMEM((chunk, tb, hh), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _klstm(ko, kc, roots, mk, u, wi, wh, bh, tb, ell, chunk, shift,
+           interpret):
+    return _klstm_fwd_call(ko, kc, roots, mk, u, wi, wh, bh, tb, ell,
+                           shift, interpret)
+
+
+def _klstm_fwd(ko, kc, roots, mk, u, wi, wh, bh, tb, ell, chunk, shift,
+               interpret):
+    return (_klstm_fwd_call(ko, kc, roots, mk, u, wi, wh, bh, tb, ell,
+                            shift, interpret),
+            (ko, kc, roots, mk, u, wi, wh, bh))
+
+
+def _klstm_bwd(tb, ell, chunk, shift, interpret, res, g):
+    ko, kc, roots, mk, u, wi, wh, bh = res
+    du, dwi, dwh, dbh = _klstm_bwd_call(
+        ko, kc, roots, mk, u, wi, wh, bh, g.astype(jnp.float32), tb,
+        ell, chunk, shift, interpret)
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    rz = None if roots is None else tuple(f0(r) for r in roots)
+    return f0(ko), f0(kc), rz, f0(mk), du, dwi, dwh, dbh
+
+
+_klstm.defvjp(_klstm_fwd, _klstm_bwd)
+
+
+def lstm_from_keys(kown: jax.Array, kcross_al: jax.Array,
+                   mask: jax.Array, u_ext: jax.Array, wi: jax.Array,
+                   wh: jax.Array, bh: jax.Array, shift: int,
+                   root_own: jax.Array | None = None,
+                   root_cross: jax.Array | None = None,
+                   tb: int = 32, chunk: int = 32,
+                   interpret: bool | None = None) -> jax.Array:
+    """Masked LSTM final hidden directly from packed keys -> [Q, B, H].
+
+    kown/kcross_al: uint32 [Q, B, L] slot-aligned; mask bool [Q, B, L];
+    u_ext as in fused_key_hidden_sum (hidden rows = relu both sides
+    summed); wi [h, 4H] (projection-folded input weights), wh [H, 4H],
+    bh [4H]. Differentiable wrt u_ext/wi/wh/bh; the per-slot hidden rows
+    exist only in VMEM in both directions."""
+    if interpret is None:
+        interpret = _default_interpret()
+    q, b, ell = kown.shape
+    hh = wh.shape[0]
+    b2 = q * b
+    tb = min(tb, max(8, b2))
+    bp = -(-b2 // tb) * tb
+    chunk = min(chunk, ell)
+    # flat key blocks need (tb*ellp) % 128 == 0 AND ellp % chunk == 0
+    import math as _math
+
+    step = 128 // _math.gcd(tb, 128)
+    ellp = ell
+    while ellp % step or ellp % chunk:
+        ellp += 1
+
+    def prep(a, fill=0):
+        a = a.reshape(b2, ell)
+        pads = [(0, bp - b2), (0, ellp - ell)]
+        if bp != b2 or ellp != ell:
+            a = jnp.pad(a, pads, constant_values=fill)
+        return a
+
+    ko = prep(kown).reshape(1, bp * ellp)
+    kc = prep(kcross_al).reshape(1, bp * ellp)
+    mk = prep(mask.astype(jnp.int32))
+    roots = None
+    if root_own is not None:
+        roots = (prep(root_own.astype(jnp.int32)).reshape(1, bp * ellp),
+                 prep(root_cross.astype(jnp.int32)).reshape(1, bp * ellp))
+    out = _klstm(ko, kc, roots, mk, u_ext, wi.astype(jnp.float32),
+                 wh.astype(jnp.float32),
+                 bh.reshape(1, -1).astype(jnp.float32), tb, ellp, chunk,
+                 shift, interpret)
+    return out[:b2].reshape(q, b, hh)
