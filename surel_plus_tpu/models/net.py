@@ -31,7 +31,6 @@ from surel_plus_tpu.models.layers import (
 from surel_plus_tpu.ops.join import JoinedBatch
 from surel_plus_tpu.ops.pallas.hidden_sum_kernel import (
     NEG,
-    fused_key_hidden_slots,
     fused_key_hidden_sum,
     u_core_rows,
 )
@@ -129,35 +128,20 @@ class Net(nn.Module):
             agg = pe.project(mean) + b2v
             return self._score(agg, feature, cdtype, train)
 
-        if (fuse and self.aggrs in ("attn", "lstm")
-                and joined.kown is not None
-                and joined.kcross_al is not None
-                and self.key_layout is not None):
-            # Per-slot fused variant: the aggregators need [Q, B, L, h]
-            # rows, so only the unpack + pair materialization and the
-            # activation storage are saved (the un-sort stays live —
-            # the cross side must be slot-aligned here).
-            nw, ns = self.key_layout
-            w1, b1 = pe.hidden_raw(ns + 1)
-            u_ext = jnp.concatenate(
-                [u_core_rows(w1, nw, ns),
-                 jnp.full((1, self.hidden_dim), NEG, jnp.float32),
-                 b1.astype(jnp.float32)[None]], axis=0)
-            hsum = fused_key_hidden_slots(
-                joined.kown, joined.kcross_al, u_ext,
-                int(nw).bit_length(), out_dtype=cdtype,
-                root_own=joined.kown_root,
-                root_cross=joined.kcross_al_root)          # [2, B, L, h]
+        # hsum below feeds the non-keys attn/lstm fallbacks; on the
+        # fused keys paths (attn pool / keys-LSTM, which consume the
+        # packed keys directly) it is only a shape/param template and
+        # XLA dead-code-eliminates it. (ops/pallas fused_key_hidden_slots
+        # remains available as a standalone per-slot primitive.)
+        if xrows is not None:
+            hpair = pe.hidden(xrows)                       # [2, B, L, 2, h]
         else:
-            if xrows is not None:
-                hpair = pe.hidden(xrows)                   # [2, B, L, 2, h]
-            else:
-                # LP path: embed unique encodings once; join == gather +
-                # add (model.py:78's pe_embedding(x).sum(dim=-2),
-                # algebraically rewritten over the deduped table).
-                htable = pe.hidden(enc_table)              # [U+1, h]
-                hpair = htable[joined.eidx]                # [2, B, L, 2, h]
-            hsum = hpair.sum(axis=-2)                      # [2, B, L, h]
+            # LP path: embed unique encodings once; join == gather +
+            # add (model.py:78's pe_embedding(x).sum(dim=-2),
+            # algebraically rewritten over the deduped table).
+            htable = pe.hidden(enc_table)                  # [U+1, h]
+            hpair = htable[joined.eidx]                    # [2, B, L, 2, h]
+        hsum = hpair.sum(axis=-2)                          # [2, B, L, h]
         b2v = pe.project(jnp.zeros((1, self.hidden_dim), hsum.dtype))
 
         if self.aggrs == "attn":
