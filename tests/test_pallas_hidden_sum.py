@@ -465,3 +465,50 @@ def test_attn_pool_kernel_grads_match_unfused():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
             err_msg=jax.tree_util.keystr(k))
+
+
+def test_fused_kernels_odd_shapes():
+    """Raw wrappers at unaligned B/L exercise every padding path."""
+    from surel_plus_tpu.models.layers import LSTMAggregation
+    from surel_plus_tpu.ops.pallas.hidden_sum_kernel import (
+        fused_attn_pool, fused_key_hidden_slots)
+    from surel_plus_tpu.ops.pallas.lstm_kernel import lstm_from_keys
+
+    rng = np.random.default_rng(17)
+    Q, B, L, H = 2, 5, 11, 8
+    kown = jnp.asarray(_rand_keys(rng, (Q, B, L)))
+    kc = jnp.asarray(_rand_keys(rng, (Q, B, L)))
+    sizes = rng.integers(1, L + 1, size=(Q, B))
+    mask = jnp.asarray(np.arange(L)[None, None, :] < sizes[..., None])
+    w1 = jnp.asarray(rng.normal(size=(NS + 1, H)).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(size=(H,)).astype(np.float32))
+    u_ext = _u_ext(w1, b1)
+
+    # per-slot rows vs direct reference
+    hs = fused_key_hidden_slots(kown, kc, u_ext, SHIFT, interpret=True)
+    want = (_hid(kown, w1, b1) + _hid(kc, w1, b1))
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # attention pool vs folded XLA attention on the same rows
+    gvec = jnp.asarray(rng.normal(size=(H, 1)).astype(np.float32))
+    gconst = jnp.asarray([[0.3]], dtype=jnp.float32)
+    pooled = fused_attn_pool(kown, kc, mask, u_ext, gvec, gconst,
+                             SHIFT, interpret=True)
+    gate = jnp.where(mask[..., None], want @ gvec + gconst, -jnp.inf)
+    a = jnp.where(mask[..., None], jax.nn.softmax(gate, axis=-2), 0.0)
+    np.testing.assert_allclose(np.asarray(pooled),
+                               np.asarray((a * want).sum(-2)),
+                               rtol=1e-5, atol=1e-5)
+
+    # keys-LSTM vs scan over the same rows (chunk not dividing L)
+    agg = LSTMAggregation(H, chunk=4)
+    x = want.reshape(Q * B, L, H)
+    mf = mask.reshape(Q * B, L)
+    params = agg.init(jax.random.PRNGKey(0), x, mf)
+    ref = agg.apply(params, x, mf)
+    p = params["params"]
+    got = lstm_from_keys(kown, kc, mask, u_ext, p["wi"], p["wh"],
+                         p["bh"], SHIFT, chunk=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got).reshape(Q * B, H),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
