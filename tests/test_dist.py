@@ -263,3 +263,46 @@ def test_distributed_keys_step_fused(setup):
                       jnp.asarray(labels), jnp.ones((B,), jnp.float32),
                       jax.random.PRNGKey(9))
     assert np.isclose(float(loss), want, rtol=1e-5), (float(loss), want)
+
+
+@pytest.mark.parametrize("aggrs", ["attn", "lstm"])
+def test_distributed_keys_step_fused_aggregators(setup, aggrs):
+    """The attn-pool / keys-LSTM fused kernels compose with shard_map:
+    the sharded step matches the single-device unfused loss."""
+    from surel_plus_tpu.ops.join import make_keys_join
+    from surel_plus_tpu.ops.sampler import sample_gsets_device_keys
+    from surel_plus_tpu.parallel.dist import (
+        DistributedKeysTrainStep, shard_spg_keys)
+
+    g, _, _ = setup
+    spgk = sample_gsets_device_keys(g, np.arange(200, dtype=np.int32),
+                                    num_walks=8, num_steps=2, seed=1,
+                                    block_size=200)
+    mesh = make_mesh(8)
+    sspg = shard_spg_keys(spgk, mesh)
+    model = Net(input_dim=3, hidden_dim=16, aggrs=aggrs, dropout=0.0,
+                fused_hidden=True, key_layout=(8, 2))
+
+    B = 32
+    rng = np.random.default_rng(0)
+    edges = rng.integers(0, 200, size=(2, B)).astype(np.int32)
+    labels = (np.arange(B) % 2).astype(np.float32)
+
+    kjoin = make_keys_join(8, 2)
+    joined = kjoin(spgk.nodes, spgk.khi, spgk.klo, spgk.sizes,
+                   jnp.asarray(edges))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 1), jnp.float32), joined)
+    ref_model = model.clone(fused_hidden=False)
+    logits = ref_model.apply(params, jnp.zeros((1, 1), jnp.float32),
+                             joined)
+    want = float(optax.sigmoid_binary_cross_entropy(
+        logits, jnp.asarray(labels)).mean())
+
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0),
+                            optax.adam(1e-2))
+    step = DistributedKeysTrainStep(model, optimizer, mesh, sspg)
+    _, _, loss = step(params, optimizer.init(params), jnp.asarray(edges),
+                      jnp.asarray(labels), jnp.ones((B,), jnp.float32),
+                      jax.random.PRNGKey(9))
+    assert np.isclose(float(loss), want, rtol=1e-4), (float(loss), want)
