@@ -29,9 +29,8 @@ def _await_tunnel(port: int = 8103, minutes: int = 10) -> None:
     device op then hangs forever. Fail fast with a clear message instead
     of hanging the driver's bench run; retry for a few minutes first in
     case the relay is mid-restart."""
-    if os.environ.get("JAX_PLATFORMS", "") != "axon" \
-            and os.environ.get("SUREL_PLATFORM", "") not in ("", "axon"):
-        return
+    if os.environ.get("SUREL_PLATFORM", "") not in ("", "axon"):
+        return  # forced non-axon backend: no tunnel needed
     if os.environ.get("JAX_PLATFORMS", "") != "axon":
         return
     deadline = time.time() + minutes * 60

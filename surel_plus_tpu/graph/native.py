@@ -85,6 +85,10 @@ def build_csr_native(edges: np.ndarray, num_nodes: Optional[int] = None,
     src = np.ascontiguousarray(edges[:, 0])
     dst = np.ascontiguousarray(edges[:, 1])
     cap = len(edges) * (2 if symmetrize else 1)
+    if cap >= 2**31:
+        # indptr is downcast to int32 below; >2^31-1 entries would
+        # silently overflow — let the (int64-safe) numpy path handle it
+        return None
     indptr = np.zeros(num_nodes + 1, np.int64)
     indices = np.zeros(cap, np.int32)
     total = lib.build_csr(_p32(src), _p32(dst), len(edges), num_nodes,
@@ -117,6 +121,8 @@ def build_csr_weighted_native(
         weights = np.ascontiguousarray(weights, np.float32)
         wptr = weights.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     cap = len(edges) * (2 if symmetrize else 1)
+    if cap >= 2**31:
+        return None  # int32 indptr downcast would overflow (see above)
     indptr = np.zeros(num_nodes + 1, np.int64)
     indices = np.zeros(cap, np.int32)
     wout = np.zeros(cap, np.float32)

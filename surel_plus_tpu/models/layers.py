@@ -159,8 +159,9 @@ class AttentionAggregation(nn.Module):
                          root_own=None, root_cross=None) -> jax.Array:
         """`folded` with the pooling fused all the way to the packed
         keys (ops/pallas/hidden_sum_kernel.py fused_attn_pool): the
-        per-slot hidden rows live only in VMEM. Forward-only — callers
-        gate on inference."""
+        per-slot hidden rows live only in VMEM. Differentiable: the
+        kernel carries a custom VJP (in-kernel softmax backward), so
+        training uses this path un-gated — see models/net.py."""
         from surel_plus_tpu.ops.pallas.hidden_sum_kernel import (
             fused_attn_pool)
 
@@ -203,6 +204,13 @@ class LSTMAggregation(nn.Module):
     # per-step carry and OOMs HBM at production batch sizes (measured
     # 24.4 GB > 15.75 GB on v5e at bs=4096, hidden 96).
     chunk: int = 32
+    # NOTE (r2 rewrite): the parameter tree is wi/wh/bh (not flax
+    # OptimizedLSTMCell's), so lstm checkpoints from before commit
+    # "keys-direct LSTM" cannot resume. Default init is xavier_normal /
+    # zeros; set torch_init=True for torch nn.LSTM's uniform
+    # U(-1/sqrt(H), 1/sqrt(H)) on all of wi/wh/bh — use that when
+    # comparing Table-3 accuracy against the torch reference.
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array, *,
@@ -223,9 +231,19 @@ class LSTMAggregation(nn.Module):
         B = xf.shape[0]
 
         in_w = fold[0].shape[1] if fold is not None else h
-        wi = self.param("wi", xavier_normal, (in_w, 4 * H))
-        wh = self.param("wh", xavier_normal, (H, 4 * H))
-        bh = self.param("bh", nn.initializers.zeros, (4 * H,))
+        if self.torch_init:
+            bound = float(H) ** -0.5
+
+            def _uinit(key, shape, dtype=jnp.float32):
+                return jax.random.uniform(key, shape, dtype,
+                                          -bound, bound)
+
+            w_init = b_init = _uinit
+        else:
+            w_init, b_init = xavier_normal, nn.initializers.zeros
+        wi = self.param("wi", w_init, (in_w, 4 * H))
+        wh = self.param("wh", w_init, (H, 4 * H))
+        bh = self.param("bh", b_init, (4 * H,))
         if fold is not None:
             w2, c2 = fold
             wi_eff = w2.astype(xf.dtype) @ wi.astype(xf.dtype)

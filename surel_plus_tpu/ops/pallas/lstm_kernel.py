@@ -23,12 +23,59 @@ same wi/wh/bh parameters drive both implementations.
 from __future__ import annotations
 
 import functools
+import math
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _vmem_budget() -> int:
+    """Per-grid-cell VMEM budget for auto-shrinking tile sizes. v5e has
+    ~16 MB/core; leave headroom for the compiler's own temporaries."""
+    return int(os.environ.get("SUREL_LSTM_VMEM_BUDGET",
+                              12 * 2**20))
+
+
+def _pad_ell(ell: int, tb: int, chunk: int) -> int:
+    """Smallest ellp >= ell with (tb*ellp) % 128 == 0 and
+    ellp % chunk == 0 (flat-key lane blocks + whole BPTT chunks)."""
+    step = 128 // math.gcd(tb, 128)
+    ellp = ell
+    while ellp % step or ellp % chunk:
+        ellp += 1
+    return ellp
+
+
+def _klstm_bwd_vmem(tb, ell, chunk, hd, hh, nbx, has_root) -> int:
+    """f32/uint32 bytes resident per grid cell of _klstm_bwd_call:
+    scratch + input blocks + outputs (all 4-byte elements)."""
+    nch = ell // chunk
+    scratch = (2 * tb * ell * hd            # hs, dhs
+               + 2 * nch * tb * hh          # boundary carries
+               + 3 * chunk * tb * hh        # sc, shp, snc
+               + chunk * tb * 4 * hh)       # sg
+    keys = (4 if has_root else 2) * tb * ell
+    ops = (tb * ell + nbx * hd + hd * 4 * hh + hh * 4 * hh
+           + 4 * hh + tb * hh)
+    outs = nbx * hd + hd * 4 * hh + hh * 4 * hh + 4 * hh
+    return 4 * (scratch + keys + ops + outs)
+
+
+def _shrink_tiles(tb, chunk, ell, vmem_of):
+    """Halve tb (floor 8), then chunk (floor 8), until vmem_of(tb,
+    ellp(tb, chunk), chunk) fits the budget. Returns (tb, chunk)."""
+    budget = _vmem_budget()
+    while (vmem_of(tb, _pad_ell(ell, tb, chunk), chunk) > budget
+           and tb > 8):
+        tb //= 2
+    while (vmem_of(tb, _pad_ell(ell, tb, chunk), chunk) > budget
+           and chunk > 8):
+        chunk //= 2
+    return tb, chunk
 
 
 def _lstm_kernel(ell, x_ref, mk_ref, wi_ref, wh_ref, bh_ref, out_ref):
@@ -266,11 +313,16 @@ def lstm_final_hidden(x: jax.Array, mask: jax.Array, wi: jax.Array,
     Differentiable wrt x/wi/wh/bh (in-kernel chunked BPTT)."""
     if interpret is None:
         interpret = _default_interpret()
-    b, ell, _ = x.shape
+    b, ell, hd = x.shape
     hh = wh.shape[0]
     tb = min(tb, max(8, b))
-    bp = -(-b // tb) * tb
     chunk = min(chunk, ell)
+    # same VMEM auto-shrink as lstm_from_keys (x-in + dx-out blocks are
+    # the 2*tb*ell*hd term; nbx=0, no key operands)
+    tb, chunk = _shrink_tiles(
+        tb, chunk, ell,
+        lambda t, e, c: _klstm_bwd_vmem(t, e, c, hd, hh, 0, False))
+    bp = -(-b // tb) * tb
     ellp = -(-ell // chunk) * chunk
     mk = mask.astype(jnp.int32)
     if bp != b or ellp != ell:
@@ -619,17 +671,20 @@ def lstm_from_keys(kown: jax.Array, kcross_al: jax.Array,
         interpret = _default_interpret()
     q, b, ell = kown.shape
     hh = wh.shape[0]
+    nbx, hd = u_ext.shape
     b2 = q * b
     tb = min(tb, max(8, b2))
-    bp = -(-b2 // tb) * tb
     chunk = min(chunk, ell)
+    # auto-shrink tiles so the backward's VMEM residency fits the chip
+    # (r2 advisory: tb=32 at L=301->320, h=H=96 is ~11 MB — near v5e's
+    # ~16 MB/core; halve tb, then chunk, until under budget)
+    has_root = root_own is not None
+    tb, chunk = _shrink_tiles(
+        tb, chunk, ell,
+        lambda t, e, c: _klstm_bwd_vmem(t, e, c, hd, hh, nbx, has_root))
+    bp = -(-b2 // tb) * tb
     # flat key blocks need (tb*ellp) % 128 == 0 AND ellp % chunk == 0
-    import math as _math
-
-    step = 128 // _math.gcd(tb, 128)
-    ellp = ell
-    while ellp % step or ellp % chunk:
-        ellp += 1
+    ellp = _pad_ell(ell, tb, chunk)
 
     def prep(a, fill=0):
         a = a.reshape(b2, ell)
