@@ -326,9 +326,20 @@ class DistributedKeysScorer:
         self.sspg = sspg
         dp = mesh.shape["data"]
         self.batch_size = ((batch_size + dp - 1) // dp) * dp
-        self._score = self._build()
+        self._score_cache = {}
 
-    def _build(self):
+    def _build(self, nsteps: int):
+        """One jitted program scoring the WHOLE split: a lax.scan over
+        `nsteps` batches runs inside the shard_map, so an 86M-pair
+        citation2-style eval costs one dispatch instead of one per batch
+        (the per-batch host loop reintroduced the ~1 s/dispatch tunnel
+        cost the single-device engine scans away — VERDICT r2 item 3).
+
+        Each device scans its contiguous [Q, nsteps*bs/dp] column block;
+        the final all_gather over 'data' reassembles global column order
+        (shard-major == ascending global column for contiguous shards)."""
+        if nsteps in self._score_cache:
+            return self._score_cache[nsteps]
         from surel_plus_tpu.ops.join import join_gathered_keys
         from surel_plus_tpu.ops.walk import INT32_MAX
 
@@ -337,23 +348,32 @@ class DistributedKeysScorer:
         M, S = sspg.num_walks, sspg.num_steps
 
         def score_local(params, nodes, khi, klo, sizes, edges):
-            # edges: [Q, B_local] (data-sharded batch)
-            rows_nodes = dist_gather_rows(nodes, edges, rps)
-            rows_hi = dist_gather_rows(khi, edges, rps)
-            rows_lo = dist_gather_rows(klo, edges, rps)
-            rows_sizes = dist_gather_rows(sizes, edges, rps)
-            L = rows_nodes.shape[-1]
-            slot = jnp.arange(L, dtype=jnp.int32)
-            valid = slot[None, None, :] < rows_sizes[:, :, None]
-            rows_nodes = jnp.where(valid, rows_nodes, INT32_MAX)
-            joined = join_gathered_keys(rows_nodes, rows_hi, rows_lo,
-                                        rows_sizes, M, S)
-            logits = self.model.apply(
-                params, jnp.zeros((1, 1), jnp.float32), joined, None,
-                train=False)
-            scores = jax.nn.sigmoid(logits)
-            # replicate scores: concatenate data shards on every device
-            return jax.lax.all_gather(scores, "data", tiled=True)
+            # edges: [Q, nsteps * B_local] (this shard's column block)
+            bsl = edges.shape[1] // nsteps
+
+            def body(_, i):
+                be = jax.lax.dynamic_slice_in_dim(edges, i * bsl, bsl,
+                                                  axis=1)
+                rows_nodes = dist_gather_rows(nodes, be, rps)
+                rows_hi = dist_gather_rows(khi, be, rps)
+                rows_lo = dist_gather_rows(klo, be, rps)
+                rows_sizes = dist_gather_rows(sizes, be, rps)
+                L = rows_nodes.shape[-1]
+                slot = jnp.arange(L, dtype=jnp.int32)
+                valid = slot[None, None, :] < rows_sizes[:, :, None]
+                rows_nodes = jnp.where(valid, rows_nodes, INT32_MAX)
+                joined = join_gathered_keys(rows_nodes, rows_hi, rows_lo,
+                                            rows_sizes, M, S)
+                logits = self.model.apply(
+                    params, jnp.zeros((1, 1), jnp.float32), joined, None,
+                    train=False)
+                return None, jax.nn.sigmoid(logits)
+
+            _, out = jax.lax.scan(body, None,
+                                  jnp.arange(nsteps, dtype=jnp.int32))
+            # out: [nsteps, bsl] -> replicate in global column order
+            allg = jax.lax.all_gather(out, "data")   # [dp, nsteps, bsl]
+            return allg.reshape(-1)
 
         sharded = jax.shard_map(
             score_local, mesh=mesh,
@@ -362,11 +382,13 @@ class DistributedKeysScorer:
             out_specs=P(),
             check_vma=False,
         )
-        return jax.jit(sharded)
+        self._score_cache[nsteps] = jax.jit(sharded)
+        return self._score_cache[nsteps]
 
     def __call__(self, params, edges) -> jax.Array:
-        """Score [Q, E] query edges (any E; batches are padded to the
-        data axis internally). Returns scores [E] replicated."""
+        """Score [Q, E] query edges (any E; padded to a whole number of
+        batches). One device program per call. Returns scores [E]
+        replicated."""
         edges = np.asarray(edges)
         E = edges.shape[1]
         bs = self.batch_size
@@ -375,12 +397,11 @@ class DistributedKeysScorer:
             edges = np.concatenate(
                 [edges, np.zeros((edges.shape[0], pad), edges.dtype)],
                 axis=1)
-        outs = []
-        for i in range(0, E + pad, bs):
-            outs.append(self._score(
-                params, self.sspg.nodes, self.sspg.khi, self.sspg.klo,
-                self.sspg.sizes, jnp.asarray(edges[:, i:i + bs])))
-        return jnp.concatenate(outs)[:E]
+        nsteps = (E + pad) // bs
+        out = self._build(nsteps)(
+            params, self.sspg.nodes, self.sspg.khi, self.sspg.klo,
+            self.sspg.sizes, jnp.asarray(edges))
+        return out[:E]
 
 
 def evaluate_distributed(scorer: DistributedKeysScorer, params, inf_edge,
