@@ -460,6 +460,7 @@ def sample_gsets_partitioned(
     seed: int = 111413,
     bucket: Optional[int] = None,
     routing: str = "probe",
+    capacity_slack: float = 1.25,
 ):
     """Multi-device set sampling over an edge-partitioned graph.
 
@@ -492,10 +493,12 @@ def sample_gsets_partitioned(
 
     if routing == "capacity":
         def step_fn(lp, tb, nd, au, sh):
-            return _route_step(lp, tb, nd, au, sh, rps, axis, G)
+            return _route_step(lp, tb, nd, au, sh, rps, axis, G,
+                               capacity_slack=capacity_slack)
 
         def rows_fn(tb, ow, ei, sh):
-            return _route_step_rows(tb, ow, ei, sh, axis, G)
+            return _route_step_rows(tb, ow, ei, sh, axis, G,
+                                    capacity_slack=capacity_slack)
     else:
         def step_fn(lp, tb, nd, au, sh):
             return _probe_step(lp, tb, nd, au, sh, rps, axis)
@@ -551,6 +554,7 @@ def sample_gsets_grouped(
     seed: int = 111413,
     bucket: Optional[int] = None,
     routing: str = "probe",
+    capacity_slack: float = 1.25,
 ):
     """Replica-group sampling: the graph is partitioned over `group_size`
     devices (one replica per group), and seeds are data-parallel across
@@ -586,10 +590,11 @@ def sample_gsets_grouped(
     if routing == "capacity":
         def gstep_fn(lp, tb, nd, au, sh):
             return _route_step(lp, tb, nd, au, sh, rps, "shard",
-                               group_size)
+                               group_size, capacity_slack=capacity_slack)
 
         def grows_fn(tb, ow, ei, sh):
-            return _route_step_rows(tb, ow, ei, sh, "shard", group_size)
+            return _route_step_rows(tb, ow, ei, sh, "shard", group_size,
+                                    capacity_slack=capacity_slack)
     else:
         def gstep_fn(lp, tb, nd, au, sh):
             return _probe_step(lp, tb, nd, au, sh, rps, "shard")
