@@ -84,3 +84,29 @@ def test_run_experiment_horder(tmp_path):
         runs=1, hidden_channels=16, log_dir=str(tmp_path), k=5)
     out = run_experiment(cfg)
     assert "best" in out
+
+
+def test_horder_checkpoint_and_inf_only(tmp_path):
+    """Reference main_horder.py:107,134-137 parity: early stop saves a
+    checkpoint; --inf_only --load_model reloads it for eval-only."""
+    import glob
+
+    from surel_plus_tpu.cli.main_horder import run_experiment
+
+    cfg = ExperimentConfig(
+        dataset="synth-hyper", synth_nodes=150, synth_edges=500,
+        num_walks=8, num_steps=3, batch_size=128, epochs=3, eval_steps=1,
+        early_stop=1, runs=1, hidden_channels=16, log_dir=str(tmp_path),
+        k=5)
+    run_experiment(cfg)
+    ckpts = glob.glob(f"{tmp_path}/synth-hyper/model/*_0")
+    assert ckpts, "early stop must save a best checkpoint"
+
+    cfg2 = ExperimentConfig(
+        dataset="synth-hyper", synth_nodes=150, synth_edges=500,
+        num_walks=8, num_steps=3, batch_size=128, runs=1,
+        hidden_channels=16, log_dir=str(tmp_path), k=5,
+        inf_only=True, load_model=ckpts[0])
+    out = run_experiment(cfg2)
+    res = out["results"]
+    assert len(res) == 3 and 0.0 <= res[1] <= 1.0
