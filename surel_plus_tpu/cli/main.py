@@ -136,7 +136,7 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
 
     use_device_engine = (
         cfg.engine == "device"
-        or (cfg.engine == "auto" and cfg.sencoder == "LP"
+        or (cfg.engine == "auto"
             and jax.default_backend() not in ("cpu",)))
 
     prep_start = time.time()
@@ -153,7 +153,26 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
                        epochs=cfg.epochs, eval_steps=cfg.eval_steps,
                        early_stop=cfg.early_stop, seed=cfg.seed)
 
-    if use_device_engine:
+    if use_device_engine and cfg.sencoder != "LP":
+        # metric path (PPR/SPD/DEG) on the device engine: host scipy prep
+        # once, then padded ScalarSpG tiles drive the same one-program
+        # epoch/score scans as the LP keys engine
+        from surel_plus_tpu.train.scalar import scalar_trainer_from_spg
+
+        x_spg = _scalar_pipeline(cfg, G_obsrv, logger)
+        z_spg = _scalar_pipeline(cfg, G_inf, logger, save_load=True)
+        input_dim = 1
+        model = Net(input_dim=input_dim, hidden_dim=cfg.hidden_channels,
+                    out_dim=1, x_dim=x_dim, dropout=cfg.dropout,
+                    use_feature=cfg.use_raw, aggrs=cfg.aggrs,
+                    dtype="bfloat16")
+        feat_dev = (None if feature is None
+                    else jax.numpy.asarray(feature))
+        trainer = scalar_trainer_from_spg(model, x_spg, tcfg,
+                                          feature=feat_dev)
+        scorer = scalar_trainer_from_spg(model, z_spg, tcfg,
+                                         feature=feat_dev)
+    elif use_device_engine:
         # TPU path: packed-key SpG + device-resident engine (bf16 compute)
         from surel_plus_tpu.ops.sampler import subg_matrix_device_keys
         from surel_plus_tpu.train.device import trainer_from_keys

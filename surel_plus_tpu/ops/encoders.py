@@ -83,14 +83,17 @@ def scalar_spg_from_csr(mat, seeds: Optional[np.ndarray] = None,
     mat.sort_indices()
     n = mat.shape[0]
     sizes = np.diff(mat.indptr).astype(np.int32)
-    L = bucket if bucket is not None else int(sizes.max())
+    L = bucket if bucket is not None else int(sizes.max()) if n else 0
     nodes = np.full((n, L), INT32_MAX, np.int32)
     values = np.zeros((n, L), np.float32)
-    for i in range(n):
-        lo, hi = mat.indptr[i], mat.indptr[i + 1]
-        k = min(hi - lo, L)
-        nodes[i, :k] = mat.indices[lo:lo + k]
-        values[i, :k] = mat.data[lo:lo + k]
+    # vectorized padded scatter (a per-row Python loop is O(N)
+    # interpreter work — minutes at citation2's 2.9M rows)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), sizes)
+    off = (np.arange(mat.nnz, dtype=np.int64)
+           - np.repeat(mat.indptr[:-1].astype(np.int64), sizes))
+    keep = off < L
+    nodes[row_of[keep], off[keep]] = mat.indices[keep]
+    values[row_of[keep], off[keep]] = mat.data[keep]
     sizes = np.minimum(sizes, L)
     if seeds is None:
         seeds = np.arange(n, dtype=np.int32)

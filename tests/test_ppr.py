@@ -135,3 +135,30 @@ def test_net_scalar_path():
     params = net.init(jax.random.PRNGKey(0), dummy_enc, joined)
     out = net.apply(params, dummy_enc, joined)
     assert out.shape == (B,)
+
+
+def test_scalar_spg_from_csr_vectorized_semantics():
+    """The vectorized padded scatter == the naive per-row loop, including
+    bucket truncation (rows longer than L keep their first L sorted
+    entries) and empty rows."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(7)
+    n, m = 40, 60
+    dense = rng.random((n, m)) * (rng.random((n, m)) < 0.2)
+    dense[5] = 0.0                               # empty row
+    dense[6] = rng.random(m)                     # full row (truncates)
+    mat = sp.csr_matrix(dense)
+    for bucket in (None, 8):
+        got = scalar_spg_from_csr(mat, bucket=bucket)
+        L = got.bucket
+        for i in range(n):
+            lo, hi = mat.indptr[i], mat.indptr[i + 1]
+            k = min(hi - lo, L)
+            assert got.sizes[i] == k
+            np.testing.assert_array_equal(got.nodes[i, :k],
+                                          mat.indices[lo:lo + k])
+            np.testing.assert_allclose(got.values[i, :k],
+                                       mat.data[lo:lo + k])
+            assert (got.nodes[i, k:] == np.iinfo(np.int32).max).all()
+            assert (got.values[i, k:] == 0).all()
