@@ -54,6 +54,13 @@ def load_raw(cfg: ExperimentConfig) -> RawLinkData:
         from surel_plus_tpu.graph.datasets import fixture_link_data
 
         return fixture_link_data(cfg.dataset.split("-", 1)[1])
+    if cfg.dataset.startswith("npz:"):
+        # drop-in real-OGB ingest: a RawLinkData npz export (README
+        # "Real-OGB ingest"); name the file after the dataset (e.g.
+        # ogbl-collab.npz) so the per-dataset overrides match
+        from surel_plus_tpu.graph.datasets import npz_link_data
+
+        return npz_link_data(cfg.dataset[4:])
     if "synth" in cfg.dataset:
         return synthetic_link_data(
             num_nodes=cfg.synth_nodes, num_edges=cfg.synth_edges,

@@ -62,6 +62,70 @@ def from_ogb(name: str) -> RawLinkData:
     )
 
 
+def npz_link_data(path: str) -> RawLinkData:
+    """Load a RawLinkData npz export — the drop-in real-OGB ingest path
+    (`--dataset npz:<path>`), no `ogb` package needed at run time.
+
+    Two layouts are accepted:
+
+    Hits-style (collab/ppa/ddi/vessel — reference dataloader.py:8-40):
+      train_edge [E,2], valid_edge/test_edge [Ev,2],
+      valid_neg/test_neg [En,2], num_nodes; optional train_weight/
+      valid_weight/test_weight [E], x [N,F].
+
+    MRR-style (citation2 — directed, per-source negatives):
+      train_src/train_dst [E], valid_src/valid_dst/test_src/test_dst,
+      valid_neg/test_neg [Ev, k] (target_node_neg), num_nodes;
+      optional x.
+
+    Export recipe from a networked machine (see README "Real-OGB
+    ingest"): save PygLinkPropPredDataset's edge_index + split dict
+    under these keys with np.savez_compressed.
+    """
+    z = np.load(path)
+    num_nodes = int(z["num_nodes"])
+    x = np.asarray(z["x"]) if "x" in z.files else None
+    if "train_src" in z.files:  # MRR-style (directed)
+        split_edge = {
+            "train": {"source_node": np.asarray(z["train_src"]),
+                      "target_node": np.asarray(z["train_dst"])},
+            "valid": {"source_node": np.asarray(z["valid_src"]),
+                      "target_node": np.asarray(z["valid_dst"]),
+                      "target_node_neg": np.asarray(z["valid_neg"])},
+            "test": {"source_node": np.asarray(z["test_src"]),
+                     "target_node": np.asarray(z["test_dst"]),
+                     "target_node_neg": np.asarray(z["test_neg"])},
+        }
+        edge_index = np.stack([np.asarray(z["train_src"]),
+                               np.asarray(z["train_dst"])]).astype(
+                                   np.int64)
+        return RawLinkData(edge_index=edge_index, split_edge=split_edge,
+                           num_nodes=num_nodes, x=x, directed=True)
+    train_e = np.asarray(z["train_edge"], dtype=np.int64)
+    has_w = "train_weight" in z.files
+    split_edge = {
+        "train": {"edge": train_e},
+        "valid": {"edge": np.asarray(z["valid_edge"], dtype=np.int64),
+                  "edge_neg": np.asarray(z["valid_neg"], dtype=np.int64)},
+        "test": {"edge": np.asarray(z["test_edge"], dtype=np.int64),
+                 "edge_neg": np.asarray(z["test_neg"], dtype=np.int64)},
+    }
+    if has_w:
+        split_edge["train"]["weight"] = z["train_weight"]
+        for s in ("valid", "test"):
+            key = f"{s}_weight"
+            if key in z.files:
+                split_edge[s]["weight"] = z[key]
+    return RawLinkData(
+        edge_index=train_e.T,
+        split_edge=split_edge,
+        num_nodes=num_nodes,
+        x=x,
+        edge_weight=np.asarray(z["train_weight"]) if has_w else None,
+        directed=False,
+    )
+
+
 def fixture_link_data(name: str = "collab") -> RawLinkData:
     """Load the committed recorded-split fixture (BLOCKED_OGB.md): a
     collab-shaped weighted graph in the OGB split layout, standing in for
@@ -71,25 +135,7 @@ def fixture_link_data(name: str = "collab") -> RawLinkData:
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "data", "fixtures",
         f"{name}_fixture.npz")
-    z = np.load(path)
-    train_e = np.asarray(z["train_edge"], dtype=np.int64)
-    split_edge = {
-        "train": {"edge": train_e, "weight": z["train_weight"]},
-        "valid": {"edge": np.asarray(z["valid_edge"], dtype=np.int64),
-                  "weight": z["valid_weight"],
-                  "edge_neg": np.asarray(z["valid_neg"], dtype=np.int64)},
-        "test": {"edge": np.asarray(z["test_edge"], dtype=np.int64),
-                 "weight": z["test_weight"],
-                 "edge_neg": np.asarray(z["test_neg"], dtype=np.int64)},
-    }
-    return RawLinkData(
-        edge_index=train_e.T,
-        split_edge=split_edge,
-        num_nodes=int(z["num_nodes"]),
-        x=None,
-        edge_weight=np.asarray(z["train_weight"]),
-        directed=False,
-    )
+    return npz_link_data(path)
 
 
 def _torch_split_to_numpy(split_edge):

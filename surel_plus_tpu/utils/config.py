@@ -89,6 +89,8 @@ def apply_dataset_overrides(cfg: ExperimentConfig) -> ExperimentConfig:
         cfg.metric = "MRR"
     elif "synth" in name:
         pass  # keep caller-provided metric
+    elif name.startswith("npz:"):
+        pass  # unrecognized npz export: keep caller-provided knobs
     else:
         raise NotImplementedError(f"dataset {name}")
     return cfg

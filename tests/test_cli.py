@@ -110,3 +110,68 @@ def test_horder_checkpoint_and_inf_only(tmp_path):
     out = run_experiment(cfg2)
     res = out["results"]
     assert len(res) == 3 and 0.0 <= res[1] <= 1.0
+
+
+def test_npz_ingest_path(tmp_path):
+    """--dataset npz:<path> loads a RawLinkData export through the same
+    pipeline as fixture/OGB data (README 'Real-OGB ingest'): the day a
+    real ogbl-collab export appears, accuracy parity needs zero code."""
+    import numpy as np
+
+    from surel_plus_tpu.cli.main import run_experiment
+    from surel_plus_tpu.graph.datasets import (npz_link_data,
+                                               synthetic_link_data)
+
+    raw = synthetic_link_data(num_nodes=300, num_edges=1200, seed=3)
+    p = tmp_path / "ogbl-collab.npz"  # name carries dataset overrides
+    np.savez(
+        p, num_nodes=raw.num_nodes,
+        train_edge=raw.split_edge["train"]["edge"],
+        train_weight=np.ones(len(raw.split_edge["train"]["edge"]),
+                             np.float32),
+        valid_edge=raw.split_edge["valid"]["edge"],
+        valid_weight=np.ones(len(raw.split_edge["valid"]["edge"]),
+                             np.float32),
+        valid_neg=raw.split_edge["valid"]["edge_neg"],
+        test_edge=raw.split_edge["test"]["edge"],
+        test_weight=np.ones(len(raw.split_edge["test"]["edge"]),
+                            np.float32),
+        test_neg=raw.split_edge["test"]["edge_neg"])
+
+    loaded = npz_link_data(str(p))
+    assert loaded.num_nodes == raw.num_nodes
+    np.testing.assert_array_equal(loaded.split_edge["test"]["edge"],
+                                  raw.split_edge["test"]["edge"])
+
+    cfg = ExperimentConfig(
+        dataset=f"npz:{p}", num_walks=8, num_steps=3, batch_size=128,
+        epochs=1, eval_steps=1, runs=1, hidden_channels=16,
+        log_dir=str(tmp_path), k=5, use_weight=True)
+    from surel_plus_tpu.utils.config import apply_dataset_overrides
+    cfg = apply_dataset_overrides(cfg)
+    assert cfg.metric == "Hits@50" and cfg.use_val  # collab rules fired
+    out = run_experiment(cfg)
+    assert "best" in out
+
+
+def test_npz_ingest_mrr_layout(tmp_path):
+    """Directed (citation2-style) npz layout with per-source negatives."""
+    import numpy as np
+
+    from surel_plus_tpu.graph.datasets import npz_link_data
+
+    rng = np.random.default_rng(0)
+    n, e, k = 100, 400, 7
+    np.savez(tmp_path / "cit.npz", num_nodes=n,
+             train_src=rng.integers(0, n, e),
+             train_dst=rng.integers(0, n, e),
+             valid_src=rng.integers(0, n, 30),
+             valid_dst=rng.integers(0, n, 30),
+             valid_neg=rng.integers(0, n, (30, k)),
+             test_src=rng.integers(0, n, 30),
+             test_dst=rng.integers(0, n, 30),
+             test_neg=rng.integers(0, n, (30, k)))
+    raw = npz_link_data(str(tmp_path / "cit.npz"))
+    assert raw.directed
+    assert raw.split_edge["valid"]["target_node_neg"].shape == (30, k)
+    assert raw.edge_index.shape == (2, e)
