@@ -154,6 +154,80 @@ def test_balanced_predict_matches_plain(setup):
         "test graph should exercise at least one small class"
 
 
+def test_balanced_training_grad_parity(setup):
+    """The balanced trainer's only math change vs full width is running
+    the join/model on a width-sliced SpG. For queries whose sets fit in
+    the class width, the TRAINING step (loss + grads) at the sliced width
+    must equal the full-width one — this is the invariant that makes
+    fit_balanced a pure retiling, not a different optimization."""
+    import optax
+
+    g, host, dev, u = setup
+    cfg = TrainConfig(batch_size=64, lr=1e-3)
+    net = Net(input_dim=S + 1, hidden_dim=16, dropout=0.0)
+    tr = DeviceTrainer(net, dev, cfg)
+    rng = np.random.default_rng(3)
+    edges = rng.integers(0, g.num_nodes, size=(2, 200)).astype(np.int32)
+    params, _ = tr.init(jax.random.PRNGKey(0), edges[:, :64])
+
+    bucket = dev.nodes.shape[1]
+    L = 16
+    groups = dict(tr.partition_by_width(edges, (L, max(32, bucket))))
+    sel = groups[L]
+    assert len(sel) >= 4, "need a nonempty small class"
+    be = jnp.asarray(edges[:, sel])
+    bl = jnp.asarray((rng.random(len(sel)) < 0.5).astype(np.float32))
+
+    def loss_and_grads(sarr_c):
+        def loss_fn(p):
+            joined = tr._join2(sarr_c, be)
+            logits = tr.train_model.apply(
+                p, tr._enc_of(sarr_c), joined, None, train=True,
+                rngs={"dropout": jax.random.PRNGKey(7)})
+            return optax.sigmoid_binary_cross_entropy(logits, bl).mean()
+        return jax.value_and_grad(loss_fn)(params)
+
+    loss_f, grads_f = loss_and_grads(tr.sarr)
+    loss_s, grads_s = loss_and_grads(tr._slice_sarr(tr.sarr, L))
+    assert float(loss_s) == pytest.approx(float(loss_f), rel=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        grads_s, grads_f)
+
+
+def test_balanced_fit_degenerate_matches_fit(setup):
+    """With ONE class at full width and one batch per epoch (E == bs,
+    dropout off), fit_balanced and fit run the same gradient steps — the
+    in-batch permutations differ but a single weighted-mean step is
+    order-invariant — so params/losses/aucs must match numerically."""
+    g, host, dev, u = setup
+    bs = 64
+    cfg = TrainConfig(batch_size=bs, lr=1e-2)
+    net = Net(input_dim=S + 1, hidden_dim=16, dropout=0.0)
+    tr = DeviceTrainer(net, dev, cfg)
+    rng = np.random.default_rng(4)
+    edges = rng.integers(0, g.num_nodes, size=(2, bs)).astype(np.int32)
+    labels = (rng.random(bs) < 0.5).astype(np.float32)
+    params, opt_state = tr.init(jax.random.PRNGKey(0), edges)
+
+    key = jax.random.PRNGKey(9)
+    n_epochs = 3
+    bucket = dev.nodes.shape[1]
+    p1, _, l1, a1 = tr.fit(params, opt_state, jnp.asarray(edges),
+                           jnp.asarray(labels), key, n_epochs)
+    p2, _, l2, a2, _ = tr.fit_balanced(params, opt_state, edges, labels,
+                                       key, n_epochs, classes=(bucket,))
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1),
+                               rtol=1e-5, atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        p2, p1)
+
+
 def test_balanced_fit_trains(setup):
     g, host, dev, u = setup
     cfg = TrainConfig(batch_size=64, lr=1e-2)
