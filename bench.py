@@ -198,6 +198,79 @@ def main():
     log(f"inference: {epoch_edges} queries in {dt_inf:.2f}s -> "
         f"{inf_qps:,.0f} q/s ({inf_qps*2*L:,.0f} joined set-slots/s)")
 
+    extras = {}
+    if not small:
+        # Aggregator sweep (Table 5 ablation rows): attn + lstm through
+        # the fused Pallas kernel paths (reference model.py:59-65).
+        # Separate trainers share the same resident SpG keys.
+        agg_epochs = 4
+        for aggrs in ("attn", "lstm"):
+            model_a = Net(input_dim=num_steps + 1, hidden_dim=96,
+                          aggrs=aggrs, dropout=0.1, dtype="bfloat16")
+            tr_a = trainer_from_keys(model_a, spgk, cfg)
+            p_a, o_a = tr_a.init(jax.random.PRNGKey(0),
+                                 np.asarray(edges[:, :batch_size]))
+            t0 = time.time()
+            p_a, o_a, lo_a, _ = tr_a.fit(p_a, o_a, edges, labels,
+                                         jax.random.PRNGKey(3), agg_epochs)
+            log(f"{aggrs}: fit cold (incl compile) "
+                f"loss={float(lo_a[-1]):.4f} {time.time()-t0:.1f}s")
+            t0 = time.time()
+            p_a, o_a, lo_a, _ = tr_a.fit(p_a, o_a, edges, labels,
+                                         jax.random.PRNGKey(4), agg_epochs)
+            _ = float(lo_a[-1])
+            dt_a = time.time() - t0
+            extras[f"{aggrs}_train_queries_per_s"] = round(
+                agg_epochs * epoch_edges / dt_a, 1)
+            sc = tr_a.predict(p_a, np.asarray(edges))
+            _ = float(sc[0])
+            t0 = time.time()
+            sc = tr_a.predict(p_a, np.asarray(edges))
+            _ = float(sc[0])
+            extras[f"{aggrs}_inference_queries_per_s"] = round(
+                epoch_edges / (time.time() - t0), 1)
+            log(f"{aggrs}: train {extras[f'{aggrs}_train_queries_per_s']:,.0f}"
+                f" q/s, inference "
+                f"{extras[f'{aggrs}_inference_queries_per_s']:,.0f} q/s")
+
+        # Per-source 1000-negative MRR eval (the reference's dominant
+        # eval shape, train.py:245-280: citation2 = 86.6M pairs in
+        # 1,389 s on A100 => 62.35k pairs/s). Negatives generated on
+        # device in batch-aligned chunks; rate includes the ranking.
+        from surel_plus_tpu.train.device import device_mrr
+        K_NEG, SRC_CHUNK, n_chunks = 1000, 4096, 4
+        n_src = SRC_CHUNK * n_chunks
+        src_dev = jnp.asarray(rng.integers(
+            0, num_nodes, n_src).astype(np.int32))
+        pos_dev = jnp.stack([src_dev, jnp.asarray(rng.integers(
+            0, num_nodes, n_src).astype(np.int32))])
+        mkey = jax.random.PRNGKey(7)
+        # warm both programs (pos-size and chunk-size) out of the timing
+        _ = float(trainer.predict(params, pos_dev)[0])
+        ns_w = jnp.repeat(src_dev[:SRC_CHUNK], K_NEG)
+        mkey, sub = jax.random.split(mkey)
+        nd_w = jax.random.randint(sub, ns_w.shape, 0, num_nodes, jnp.int32)
+        _ = float(trainer.predict(params, jnp.stack([ns_w, nd_w]))[0])
+        t0 = time.time()
+        pos_scores = trainer.predict(params, pos_dev)
+        neg_parts = []
+        for ci in range(n_chunks):
+            ns = jnp.repeat(src_dev[ci * SRC_CHUNK:(ci + 1) * SRC_CHUNK],
+                            K_NEG)
+            mkey, sub = jax.random.split(mkey)
+            nd = jax.random.randint(sub, ns.shape, 0, num_nodes, jnp.int32)
+            neg_parts.append(trainer.predict(
+                params, jnp.stack([ns, nd])).reshape(-1, K_NEG))
+        mrr = float(device_mrr(pos_scores, jnp.concatenate(neg_parts)))
+        dt_mrr = time.time() - t0
+        total_pairs = n_src * (K_NEG + 1)
+        extras["mrr_eval_pairs_per_s"] = round(total_pairs / dt_mrr, 1)
+        extras["mrr_eval_vs_a100"] = round(
+            total_pairs / dt_mrr / 62_350, 3)
+        log(f"mrr eval: {total_pairs/1e6:.2f}M pairs in {dt_mrr:.1f}s -> "
+            f"{total_pairs/dt_mrr/1e6:.2f}M pairs/s "
+            f"({extras['mrr_eval_vs_a100']:.1f}x A100 rate), MRR={mrr:.4f}")
+
     for name, st in metrics.report().items():
         log(f"phase {name}: {st.total_s:.2f}s x{st.count} "
             f"({st.items_per_s:,.0f} items/s)")
@@ -221,6 +294,7 @@ def main():
         "inference_queries_per_s": round(inf_qps, 1),
         "joined_slots_per_s": round(inf_qps * 2 * L, 1),
         "train_mfu": round(mfu, 4),
+        **extras,
     }))
 
 

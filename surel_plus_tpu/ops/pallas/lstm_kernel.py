@@ -52,17 +52,36 @@ def _pad_ell(ell: int, tb: int, chunk: int) -> int:
 
 def _klstm_bwd_vmem(tb, ell, chunk, hd, hh, nbx, has_root) -> int:
     """f32/uint32 bytes resident per grid cell of _klstm_bwd_call:
-    scratch + input blocks + outputs (all 4-byte elements)."""
+    scratch + input blocks + outputs. VMEM tiles pad the LANE (minor)
+    dim to 128, so the [.., hd+1] / [.., hh] scratch really occupies
+    128-lane rows — count that, or the auto-shrink underestimates and
+    the kernel OOMs on hardware."""
+    lp = lambda n: -(-n // 128) * 128
     nch = ell // chunk
-    scratch = (2 * tb * ell * hd            # hs, dhs
-               + 2 * nch * tb * hh          # boundary carries
-               + 3 * chunk * tb * hh        # sc, shp, snc
-               + chunk * tb * 4 * hh)       # sg
-    keys = (4 if has_root else 2) * tb * ell
-    ops = (tb * ell + nbx * hd + hd * 4 * hh + hh * 4 * hh
-           + 4 * hh + tb * hh)
-    outs = nbx * hd + hd * 4 * hh + hh * 4 * hh + 4 * hh
+    hdp = hd + 1                            # + keep lane (_be2_of)
+    scratch = (2 * tb * ell * lp(hdp)       # hs, dhs
+               + 2 * nch * tb * lp(hh)      # boundary carries
+               + 3 * chunk * tb * lp(hh)    # sc, shp, snc
+               + chunk * tb * lp(4 * hh))   # sg
+    keys = (5 if has_root else 3) * tb * ell    # + flat mask plane
+    ops = ((nbx + 1) * lp(hdp) + hdp * lp(4 * hh) + hh * lp(4 * hh)
+           + lp(4 * hh) + tb * lp(hh))
+    outs = (nbx + 1) * lp(hdp) + hdp * lp(4 * hh) + hh * lp(4 * hh) \
+        + lp(4 * hh)
     return 4 * (scratch + keys + ops + outs)
+
+
+def _klstm_fwd_vmem(tb, ell, chunk, hd, hh, nbx, has_root) -> int:
+    """Forward-kernel VMEM: only the hs scratch + operands (no dhs, no
+    BPTT chunk scratch) — so the forward can run a much larger row tile
+    than the backward (bigger recurrence matmuls, fewer grid cells)."""
+    lp = lambda n: -(-n // 128) * 128
+    hdp = hd + 1
+    scratch = tb * ell * lp(hdp)
+    keys = (5 if has_root else 3) * tb * ell
+    ops = ((nbx + 1) * lp(hdp) + hdp * lp(4 * hh) + hh * lp(4 * hh)
+           + lp(4 * hh))
+    return 4 * (scratch + keys + ops + tb * lp(hh))
 
 
 def _shrink_tiles(tb, chunk, ell, vmem_of):
@@ -78,8 +97,14 @@ def _shrink_tiles(tb, chunk, ell, vmem_of):
     return tb, chunk
 
 
-def _lstm_kernel(ell, x_ref, mk_ref, wi_ref, wh_ref, bh_ref, out_ref):
+def _lstm_kernel(ell, x_ref, wi_ref, wh_ref, bh_ref, out_ref):
+    """x's LAST LANE is the slot-valid mask (fused by the caller; wi has
+    a matching zero row). A separate [tb, ell] mask block would need a
+    dynamic-LANE read per step — rejected by Mosaic on hardware (lane
+    indices must be %128); the mask-as-lane read is a static width-1
+    slice (legal, scripts/probe_mosaic_dyn.py)."""
     tb = x_ref.shape[0]
+    hdp = x_ref.shape[2]
     hh = wh_ref.shape[0]
     wi = wi_ref[:]
     wh = wh_ref[:]
@@ -87,7 +112,7 @@ def _lstm_kernel(ell, x_ref, mk_ref, wi_ref, wh_ref, bh_ref, out_ref):
 
     def step(t, carry):
         c, hid = carry
-        xt = x_ref[:, pl.ds(t, 1), :].reshape(tb, wi.shape[0])
+        xt = x_ref[:, pl.ds(t, 1), :].reshape(tb, hdp)
         gates = (jnp.dot(xt, wi, preferred_element_type=jnp.float32)
                  + jnp.dot(hid, wh, preferred_element_type=jnp.float32)
                  + bh)
@@ -97,7 +122,7 @@ def _lstm_kernel(ell, x_ref, mk_ref, wi_ref, wh_ref, bh_ref, out_ref):
         go = jax.nn.sigmoid(gates[:, 3 * hh:])
         nc = gf * c + gi * gg
         nh = go * jnp.tanh(nc)
-        keep = mk_ref[:, pl.ds(t, 1)] > 0           # [tb, 1]
+        keep = xt[:, hdp - 1:hdp] > 0               # [tb, 1]
         return (jnp.where(keep, nc, c), jnp.where(keep, nh, hid))
 
     zero = jnp.zeros((tb, hh), jnp.float32)
@@ -105,7 +130,7 @@ def _lstm_kernel(ell, x_ref, mk_ref, wi_ref, wh_ref, bh_ref, out_ref):
     out_ref[:] = hid
 
 
-def _lstm_bwd_kernel(ell, chunk, x_ref, mk_ref, wi_ref, wh_ref, bh_ref,
+def _lstm_bwd_kernel(ell, chunk, x_ref, wi_ref, wh_ref, bh_ref,
                      g_ref, dx_ref, dwi_ref, dwh_ref, dbh_ref,
                      bc_ref, bhh_ref, sc_ref, shp_ref, sg_ref, snc_ref):
     pid = pl.program_id(0)
@@ -128,7 +153,7 @@ def _lstm_bwd_kernel(ell, chunk, x_ref, mk_ref, wi_ref, wh_ref, bh_ref,
         go = jax.nn.sigmoid(a[:, 3 * hh:])
         nc = gf * c + gi * gg
         nh = go * jnp.tanh(nc)
-        keep = mk_ref[:, pl.ds(t, 1)] > 0            # [tb, 1]
+        keep = xt[:, hd - 1:hd] > 0                  # mask lane [tb, 1]
         return gi, gf, gg, go, nc, nh, keep
 
     # phase 1: forward, storing only chunk-boundary carries
@@ -175,7 +200,8 @@ def _lstm_bwd_kernel(ell, chunk, x_ref, mk_ref, wi_ref, wh_ref, bh_ref,
             hp = shp_ref[pl.ds(j, 1)].reshape(tb, hh)
             gp = sg_ref[pl.ds(j, 1)].reshape(tb, 4 * hh)
             nc = snc_ref[pl.ds(j, 1)].reshape(tb, hh)
-            keep = mk_ref[:, pl.ds(t, 1)] > 0
+            xt = x_ref[:, pl.ds(t, 1), :].reshape(tb, hd)
+            keep = xt[:, hd - 1:hd] > 0
             gi = gp[:, :hh]
             gf = gp[:, hh:2 * hh]
             gg = gp[:, 2 * hh:3 * hh]
@@ -188,7 +214,6 @@ def _lstm_bwd_kernel(ell, chunk, x_ref, mk_ref, wi_ref, wh_ref, bh_ref,
             dgg = dnc * gi * (1.0 - gg * gg)
             dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=1)
             dgates = jnp.where(keep, dgates, 0.0)    # [tb, 4H]
-            xt = x_ref[:, pl.ds(t, 1), :].reshape(tb, hd)
             # contraction over rows (dim 0 both): x^T dgates etc.
             cdim = (((0,), (0,)), ((), ()))
             dwi_a += jax.lax.dot_general(
@@ -230,13 +255,12 @@ def _default_interpret() -> bool:
 
 def _specs(tb, ell, hd, hh, blk):
     return [blk((tb, ell, hd), lambda i: (i, 0, 0)),
-            blk((tb, ell), lambda i: (i, 0)),
             blk((hd, 4 * hh), lambda i: (0, 0)),
             blk((hh, 4 * hh), lambda i: (0, 0)),
             blk((1, 4 * hh), lambda i: (0, 0))]
 
 
-def _lstm_fwd_call(x, mk, wi, wh, bh, tb, interpret):
+def _lstm_fwd_call(x, wi, wh, bh, tb, interpret):
     bp, ell, hd = x.shape
     hh = wh.shape[0]
     blk = lambda shape, imap: pl.BlockSpec(shape, imap,
@@ -248,10 +272,10 @@ def _lstm_fwd_call(x, mk, wi, wh, bh, tb, interpret):
         out_specs=blk((tb, hh), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((bp, hh), jnp.float32),
         interpret=interpret,
-    )(x, mk, wi, wh, bh)
+    )(x, wi, wh, bh)
 
 
-def _lstm_bwd_call(x, mk, wi, wh, bh, g, tb, chunk, interpret):
+def _lstm_bwd_call(x, wi, wh, bh, g, tb, chunk, interpret):
     bp, ell, hd = x.shape
     hh = wh.shape[0]
     nch = ell // chunk
@@ -277,26 +301,25 @@ def _lstm_bwd_call(x, mk, wi, wh, bh, g, tb, chunk, interpret):
                         pltpu.VMEM((chunk, tb, 4 * hh), jnp.float32),
                         pltpu.VMEM((chunk, tb, hh), jnp.float32)],
         interpret=interpret,
-    )(x, mk, wi, wh, bh, g)
+    )(x, wi, wh, bh, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _lstm(x, mk, wi, wh, bh, tb, chunk, interpret):
-    return _lstm_fwd_call(x, mk, wi, wh, bh, tb, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _lstm(x, wi, wh, bh, tb, chunk, interpret):
+    return _lstm_fwd_call(x, wi, wh, bh, tb, interpret)
 
 
-def _lstm_fwd(x, mk, wi, wh, bh, tb, chunk, interpret):
-    return (_lstm_fwd_call(x, mk, wi, wh, bh, tb, interpret),
-            (x, mk, wi, wh, bh))
+def _lstm_fwd(x, wi, wh, bh, tb, chunk, interpret):
+    return (_lstm_fwd_call(x, wi, wh, bh, tb, interpret),
+            (x, wi, wh, bh))
 
 
 def _lstm_bwd(tb, chunk, interpret, res, g):
-    x, mk, wi, wh, bh = res
-    dx, dwi, dwh, dbh = _lstm_bwd_call(x, mk, wi, wh, bh,
+    x, wi, wh, bh = res
+    dx, dwi, dwh, dbh = _lstm_bwd_call(x, wi, wh, bh,
                                        g.astype(jnp.float32), tb, chunk,
                                        interpret)
-    f0 = np.zeros(mk.shape, jax.dtypes.float0)
-    return dx, f0, dwi, dwh, dbh
+    return dx, dwi, dwh, dbh
 
 
 _lstm.defvjp(_lstm_fwd, _lstm_bwd)
@@ -318,17 +341,22 @@ def lstm_final_hidden(x: jax.Array, mask: jax.Array, wi: jax.Array,
     tb = min(tb, max(8, b))
     chunk = min(chunk, ell)
     # same VMEM auto-shrink as lstm_from_keys (x-in + dx-out blocks are
-    # the 2*tb*ell*hd term; nbx=0, no key operands)
+    # the 2*tb*ell*(hd+1) term; nbx=0, no key operands)
     tb, chunk = _shrink_tiles(
         tb, chunk, ell,
         lambda t, e, c: _klstm_bwd_vmem(t, e, c, hd, hh, 0, False))
     bp = -(-b // tb) * tb
     ellp = -(-ell // chunk) * chunk
-    mk = mask.astype(jnp.int32)
+    # mask rides as x's LAST LANE (wi gets a matching zero row): the
+    # only Mosaic-legal per-step keep read — see _lstm_kernel. Pad
+    # rows/slots carry mask 0 => the recurrence passes them through.
+    xp = jnp.concatenate(
+        [x.astype(jnp.float32),
+         mask.astype(jnp.float32)[..., None]], axis=-1)
     if bp != b or ellp != ell:
-        x = jnp.pad(x, [(0, bp - b), (0, ellp - ell), (0, 0)])
-        mk = jnp.pad(mk, [(0, bp - b), (0, ellp - ell)])
-    out = _lstm(x.astype(jnp.float32), mk, wi.astype(jnp.float32),
+        xp = jnp.pad(xp, [(0, bp - b), (0, ellp - ell), (0, 0)])
+    wi2 = jnp.pad(wi.astype(jnp.float32), [(0, 1), (0, 0)])
+    out = _lstm(xp, wi2,
                 wh.astype(jnp.float32),
                 bh.reshape(1, -1).astype(jnp.float32), tb, chunk,
                 interpret)
@@ -345,46 +373,74 @@ def lstm_final_hidden(x: jax.Array, mask: jax.Array, wi: jax.Array,
 # direction. The projection fold (models/layers.py) rides the effective
 # input weights wi_f = W2 @ wi and bias bh_f = bh + c2 @ wi.
 
-def _hs_into(hs_ref, ko_ref, kc_ref, ro_ref, rc_ref, u, shift, ell,
-             rchunk):
-    """Fill hs_ref [tb, ell, H] with the pair-summed hidden rows.
+def _be2_of(k_flat, root_flat, mk_f, u2, shift):
+    """Extended fields operand [nbx+1, R]: the usual field rows plus the
+    slot-valid mask as a final row. Contracted against the extended
+    u2 = [[U, 0], [sel, 1]] this lands the mask value in the hidden
+    row's LAST LANE — the only Mosaic-legal way to read a per-step keep
+    flag inside the recurrence (dynamic-LANE loads of a [tb, ell] mask
+    block are rejected on hardware: lane indices must be %128; the
+    dynamic-SUBLANE read of the [tb, ell, hdp] scratch is legal —
+    scripts/probe_mosaic_dyn.py)."""
+    from surel_plus_tpu.ops.pallas.hidden_sum_kernel import _fields_ext
 
-    Key refs are FLAT [1, tb*ell] lane vectors (row-major), so the work
-    chunks over ROWS (contiguous flat slices) to bound z temporaries."""
-    from surel_plus_tpu.ops.pallas.hidden_sum_kernel import _z_of
+    r = k_flat.shape[0]
+    be = _fields_ext(k_flat, jnp.zeros((r,), jnp.float32), shift,
+                     u2.shape[0] - 3, root_flat)
+    return jnp.concatenate([be, mk_f[None, :]], axis=0)
 
-    tb, _, hh = hs_ref.shape
-    nbx = u.shape[0]
+
+def _hs_into(hs_ref, ko_ref, kc_ref, ro_ref, rc_ref, mk_ref, u2, shift,
+             ell, rchunk):
+    """Fill hs_ref [tb, ell, hd+1] with the pair-summed hidden rows;
+    lane hd carries 2x the slot-valid mask (relu'd from both sides).
+
+    Key/mask refs are FLAT [1, tb*ell] lane vectors (row-major), so the
+    work chunks over ROWS (contiguous flat slices) to bound z
+    temporaries."""
+    from surel_plus_tpu.ops.pallas.hidden_sum_kernel import _CONTRACT_BITS
+
+    tb, _, hdp = hs_ref.shape
     for r0 in range(0, tb, rchunk):
         rc_n = min(rchunk, tb - r0)
         sl = slice(r0 * ell, (r0 + rc_n) * ell)
-        zeros = jnp.zeros((rc_n * ell,), jnp.float32)
+        mkv = mk_ref[0, sl].astype(jnp.float32)
         ro = None if ro_ref is None else ro_ref[0, sl]
         rr = None if rc_ref is None else rc_ref[0, sl]
-        _, zo = _z_of(ko_ref[0, sl], zeros, u, nbx, shift, ro)
-        _, zc = _z_of(kc_ref[0, sl], zeros, u, nbx, shift, rr)
+        zo = jax.lax.dot_general(
+            _be2_of(ko_ref[0, sl], ro, mkv, u2, shift), u2,
+            dimension_numbers=_CONTRACT_BITS,
+            preferred_element_type=jnp.float32)
+        zc = jax.lax.dot_general(
+            _be2_of(kc_ref[0, sl], rr, mkv, u2, shift), u2,
+            dimension_numbers=_CONTRACT_BITS,
+            preferred_element_type=jnp.float32)
         hs = jnp.maximum(zo, 0.0) + jnp.maximum(zc, 0.0)
-        hs_ref[r0:r0 + rc_n] = hs.reshape(rc_n, ell, hh)
+        hs_ref[r0:r0 + rc_n] = hs.reshape(rc_n, ell, hdp)
 
 
-def _du_from_dhs(ko_ref, kc_ref, ro_ref, rc_ref, dhs_ref, u, shift,
-                 ell, rchunk):
-    """dU = sum over slots of fields^T ((z > 0) * dhs), both sides."""
-    from surel_plus_tpu.ops.pallas.hidden_sum_kernel import _z_of
+def _du_from_dhs(ko_ref, kc_ref, ro_ref, rc_ref, mk_ref, dhs_ref, u2,
+                 shift, ell, rchunk):
+    """dU2 = sum over slots of be2^T ((z > 0) * dhs), both sides.
+    The mask row/column of dU2 is sliced away by the caller-side pad
+    VJP (lstm_from_keys builds u2 with jnp.pad, so JAX undoes it)."""
+    from surel_plus_tpu.ops.pallas.hidden_sum_kernel import _CONTRACT_BITS
 
     tb = dhs_ref.shape[0]
-    nbx = u.shape[0]
-    acc = jnp.zeros(u.shape, jnp.float32)
+    acc = jnp.zeros(u2.shape, jnp.float32)
     for r0 in range(0, tb, rchunk):
         rc_n = min(rchunk, tb - r0)
         sl = slice(r0 * ell, (r0 + rc_n) * ell)
-        dhs = dhs_ref[r0:r0 + rc_n].reshape(rc_n * ell, u.shape[1])
-        zeros = jnp.zeros((rc_n * ell,), jnp.float32)
+        dhs = dhs_ref[r0:r0 + rc_n].reshape(rc_n * ell, u2.shape[1])
+        mkv = mk_ref[0, sl].astype(jnp.float32)
         for k_ref, r_ref in ((ko_ref, ro_ref), (kc_ref, rc_ref)):
             r = None if r_ref is None else r_ref[0, sl]
-            be, z = _z_of(k_ref[0, sl], zeros, u, nbx, shift, r)
+            be2 = _be2_of(k_ref[0, sl], r, mkv, u2, shift)
+            z = jax.lax.dot_general(
+                be2, u2, dimension_numbers=_CONTRACT_BITS,
+                preferred_element_type=jnp.float32)
             dz = jnp.where(z > 0, dhs, 0.0)
-            acc += jnp.dot(be, dz, preferred_element_type=jnp.float32)
+            acc += jnp.dot(be2, dz, preferred_element_type=jnp.float32)
     return acc
 
 
@@ -399,18 +455,18 @@ def _klstm_fwd_kernel(ell, shift, has_root, *refs):
         (ko_ref, kc_ref, mk_ref, u_ref, wi_ref, wh_ref, bh_ref,
          out_ref, hs_ref) = refs
         ro_ref = rc_ref = None
-    tb = mk_ref.shape[0]
+    tb, _, hdp = hs_ref.shape
     hh = wh_ref.shape[0]
     u = u_ref[:]
     wi = wi_ref[:]
     wh = wh_ref[:]
     bh = bh_ref[:]
-    _hs_into(hs_ref, ko_ref, kc_ref, ro_ref, rc_ref, u, shift, ell,
-             _ZCHUNK)
+    _hs_into(hs_ref, ko_ref, kc_ref, ro_ref, rc_ref, mk_ref, u, shift,
+             ell, _ZCHUNK)
 
     def step(t, carry):
         c, hid = carry
-        xt = hs_ref[:, pl.ds(t, 1), :].reshape(tb, u.shape[1])
+        xt = hs_ref[:, pl.ds(t, 1), :].reshape(tb, hdp)
         gates = (jnp.dot(xt, wi, preferred_element_type=jnp.float32)
                  + jnp.dot(hid, wh, preferred_element_type=jnp.float32)
                  + bh)
@@ -420,7 +476,7 @@ def _klstm_fwd_kernel(ell, shift, has_root, *refs):
         go = jax.nn.sigmoid(gates[:, 3 * hh:])
         nc = gf * c + gi * gg
         nh = go * jnp.tanh(nc)
-        keep = mk_ref[:, pl.ds(t, 1)] > 0
+        keep = xt[:, hdp - 1:hdp] > 0
         return (jnp.where(keep, nc, c), jnp.where(keep, nh, hid))
 
     zero = jnp.zeros((tb, hh), jnp.float32)
@@ -441,7 +497,7 @@ def _klstm_bwd_kernel(ell, chunk, shift, has_root, *refs):
          snc_ref) = refs
         ro_ref = rc_ref = None
     pid = pl.program_id(0)
-    tb = mk_ref.shape[0]
+    tb, _, hdp = hs_ref.shape
     hd = wi_ref.shape[0]
     hh = wh_ref.shape[0]
     nch = ell // chunk
@@ -450,8 +506,8 @@ def _klstm_bwd_kernel(ell, chunk, shift, has_root, *refs):
     wh = wh_ref[:]
     bh = bh_ref[:]
     zero = jnp.zeros((tb, hh), jnp.float32)
-    _hs_into(hs_ref, ko_ref, kc_ref, ro_ref, rc_ref, u, shift, ell,
-             _ZCHUNK)
+    _hs_into(hs_ref, ko_ref, kc_ref, ro_ref, rc_ref, mk_ref, u, shift,
+             ell, _ZCHUNK)
 
     def gates_of(c, hid, t):
         xt = hs_ref[:, pl.ds(t, 1), :].reshape(tb, hd)
@@ -463,7 +519,7 @@ def _klstm_bwd_kernel(ell, chunk, shift, has_root, *refs):
         go = jax.nn.sigmoid(a[:, 3 * hh:])
         nc = gf * c + gi * gg
         nh = go * jnp.tanh(nc)
-        keep = mk_ref[:, pl.ds(t, 1)] > 0
+        keep = xt[:, hdp - 1:hdp] > 0
         return gi, gf, gg, go, nc, nh, keep
 
     def fstep(t, carry):
@@ -506,7 +562,8 @@ def _klstm_bwd_kernel(ell, chunk, shift, has_root, *refs):
             hp = shp_ref[pl.ds(j, 1)].reshape(tb, hh)
             gp = sg_ref[pl.ds(j, 1)].reshape(tb, 4 * hh)
             nc = snc_ref[pl.ds(j, 1)].reshape(tb, hh)
-            keep = mk_ref[:, pl.ds(t, 1)] > 0
+            xt = hs_ref[:, pl.ds(t, 1), :].reshape(tb, hd)
+            keep = xt[:, hdp - 1:hdp] > 0
             gi = gp[:, :hh]
             gf = gp[:, hh:2 * hh]
             gg = gp[:, 2 * hh:3 * hh]
@@ -519,7 +576,6 @@ def _klstm_bwd_kernel(ell, chunk, shift, has_root, *refs):
             dgg = dnc * gi * (1.0 - gg * gg)
             dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=1)
             dgates = jnp.where(keep, dgates, 0.0)
-            xt = hs_ref[:, pl.ds(t, 1), :].reshape(tb, hd)
             cdim = (((0,), (0,)), ((), ()))
             dwi_a += jax.lax.dot_general(
                 xt, dgates, dimension_numbers=cdim,
@@ -542,8 +598,8 @@ def _klstm_bwd_kernel(ell, chunk, shift, has_root, *refs):
         dc, dh, dwi_a, dwh_a, dbh_a = jax.lax.fori_loop(
             0, chunk, bstep, (dc, dh, dwi_a, dwh_a, dbh_a))
 
-    du_a = _du_from_dhs(ko_ref, kc_ref, ro_ref, rc_ref, dhs_ref, u,
-                        shift, ell, _ZCHUNK)
+    du_a = _du_from_dhs(ko_ref, kc_ref, ro_ref, rc_ref, mk_ref, dhs_ref,
+                        u, shift, ell, _ZCHUNK)
 
     @pl.when(pid == 0)
     def _():
@@ -566,7 +622,9 @@ def _klstm_specs(tb, ell, nbx, hd, hh, has_root):
     if has_root:
         ins += [blk((1, tb * ell), lambda i: (0, i)),
                 blk((1, tb * ell), lambda i: (0, i))]
-    ins += [blk((tb, ell), lambda i: (i, 0)),
+    # mask rides as a flat lane vector like the keys (a [tb, ell] block
+    # would need dynamic-LANE reads in the recurrence — illegal on TPU)
+    ins += [blk((1, tb * ell), lambda i: (0, i)),
             blk((nbx, hd), lambda i: (0, 0)),
             blk((hd, 4 * hh), lambda i: (0, 0)),
             blk((hh, 4 * hh), lambda i: (0, 0)),
@@ -576,7 +634,7 @@ def _klstm_specs(tb, ell, nbx, hd, hh, has_root):
 
 def _klstm_fwd_call(ko, kc, roots, mk, u, wi, wh, bh, tb, ell, shift,
                     interpret):
-    b2 = mk.shape[0]
+    b2 = mk.shape[1] // ell
     nbx, hd = u.shape
     hh = wh.shape[0]
     ins, blk = _klstm_specs(tb, ell, nbx, hd, hh, roots is not None)
@@ -595,7 +653,7 @@ def _klstm_fwd_call(ko, kc, roots, mk, u, wi, wh, bh, tb, ell, shift,
 
 def _klstm_bwd_call(ko, kc, roots, mk, u, wi, wh, bh, g, tb, ell,
                     chunk, shift, interpret):
-    b2 = mk.shape[0]
+    b2 = mk.shape[1] // ell
     nbx, hd = u.shape
     hh = wh.shape[0]
     nch = ell // chunk
@@ -626,21 +684,24 @@ def _klstm_bwd_call(ko, kc, roots, mk, u, wi, wh, bh, g, tb, ell,
     )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
-def _klstm(ko, kc, roots, mk, u, wi, wh, bh, tb, ell, chunk, shift,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+def _klstm(ko, kc, roots, mk, u, wi, wh, bh, tbf, tb, ell, chunk, shift,
            interpret):
-    return _klstm_fwd_call(ko, kc, roots, mk, u, wi, wh, bh, tb, ell,
+    # tbf: forward row tile (only the hs scratch is resident — can be
+    # much larger than the backward's tb, cutting grid cells and growing
+    # the serial recurrence's matmul rows)
+    return _klstm_fwd_call(ko, kc, roots, mk, u, wi, wh, bh, tbf, ell,
                            shift, interpret)
 
 
-def _klstm_fwd(ko, kc, roots, mk, u, wi, wh, bh, tb, ell, chunk, shift,
-               interpret):
-    return (_klstm_fwd_call(ko, kc, roots, mk, u, wi, wh, bh, tb, ell,
+def _klstm_fwd(ko, kc, roots, mk, u, wi, wh, bh, tbf, tb, ell, chunk,
+               shift, interpret):
+    return (_klstm_fwd_call(ko, kc, roots, mk, u, wi, wh, bh, tbf, ell,
                             shift, interpret),
             (ko, kc, roots, mk, u, wi, wh, bh))
 
 
-def _klstm_bwd(tb, ell, chunk, shift, interpret, res, g):
+def _klstm_bwd(tbf, tb, ell, chunk, shift, interpret, res, g):
     ko, kc, roots, mk, u, wi, wh, bh = res
     du, dwi, dwh, dbh = _klstm_bwd_call(
         ko, kc, roots, mk, u, wi, wh, bh, g.astype(jnp.float32), tb,
@@ -675,16 +736,22 @@ def lstm_from_keys(kown: jax.Array, kcross_al: jax.Array,
     b2 = q * b
     tb = min(tb, max(8, b2))
     chunk = min(chunk, ell)
-    # auto-shrink tiles so the backward's VMEM residency fits the chip
-    # (r2 advisory: tb=32 at L=301->320, h=H=96 is ~11 MB — near v5e's
-    # ~16 MB/core; halve tb, then chunk, until under budget)
+    # auto-shrink tiles so each kernel's VMEM residency fits the chip.
+    # The backward holds hs+dhs+BPTT chunk scratch (tb=16 at L=301->320,
+    # h=H=96); the forward holds only hs, so it runs a larger tile (64).
     has_root = root_own is not None
     tb, chunk = _shrink_tiles(
         tb, chunk, ell,
         lambda t, e, c: _klstm_bwd_vmem(t, e, c, hd, hh, nbx, has_root))
-    bp = -(-b2 // tb) * tb
-    # flat key blocks need (tb*ellp) % 128 == 0 AND ellp % chunk == 0
-    ellp = _pad_ell(ell, tb, chunk)
+    tbf, _ = _shrink_tiles(
+        max(tb, min(64, max(8, b2))), chunk, ell,
+        lambda t, e, c: _klstm_fwd_vmem(t, e, c, hd, hh, nbx, has_root))
+    tbf = max(tbf, tb)
+    bp = -(-b2 // max(tb, tbf)) * max(tb, tbf)
+    # flat key blocks need (tb*ellp) % 128 == 0 for BOTH tiles (the
+    # smaller tile's constraint is the binding one since tiles are
+    # powers of two) AND ellp % chunk == 0
+    ellp = _pad_ell(ell, min(tb, tbf), chunk)
 
     def prep(a, fill=0):
         a = a.reshape(b2, ell)
@@ -695,13 +762,20 @@ def lstm_from_keys(kown: jax.Array, kcross_al: jax.Array,
 
     ko = prep(kown).reshape(1, bp * ellp)
     kc = prep(kcross_al).reshape(1, bp * ellp)
-    mk = prep(mask.astype(jnp.int32))
+    mk = prep(mask.astype(jnp.int32)).reshape(1, bp * ellp)
     roots = None
     if root_own is not None:
         roots = (prep(root_own.astype(jnp.int32)).reshape(1, bp * ellp),
                  prep(root_cross.astype(jnp.int32)).reshape(1, bp * ellp))
-    out = _klstm(ko, kc, roots, mk, u_ext, wi.astype(jnp.float32),
+    # Extended operands: u2 = [[U, 0], [0, 1]] lands the slot-valid mask
+    # in the hidden rows' last lane (see _be2_of); wi2's matching zero
+    # row keeps the gate matmuls exact. jnp.pad's VJP slices dU/dwi back
+    # to the original shapes.
+    u2 = jnp.pad(u_ext.astype(jnp.float32), [(0, 1), (0, 1)])
+    u2 = u2.at[nbx, hd].set(1.0)
+    wi2 = jnp.pad(wi.astype(jnp.float32), [(0, 1), (0, 0)])
+    out = _klstm(ko, kc, roots, mk, u2, wi2,
                  wh.astype(jnp.float32),
-                 bh.reshape(1, -1).astype(jnp.float32), tb, ellp, chunk,
-                 shift, interpret)
+                 bh.reshape(1, -1).astype(jnp.float32), tbf, tb, ellp,
+                 chunk, shift, interpret)
     return out[:b2].reshape(q, b, hh)
