@@ -271,15 +271,20 @@ class LSTMAggregation(nn.Module):
             hidden = lstm_final_hidden(xf, mf, wi_eff, wh, bh_eff)
             return hidden.astype(x.dtype).reshape((*batch_shape, H))
 
-        return self._scan(xf, mf, wi_eff, wh, bh_eff.astype(xf.dtype),
+        return self._scan(xf, mf, wi_eff, wh, bh_eff,
                           batch_shape, L, B)
 
     def _scan(self, xf, mf, wi, wh, bh, batch_shape, L, B):
         H = self.hidden_dim
 
-        xproj = xf @ wi                     # [B, L, 4H] one MXU matmul
-        carry0 = (jnp.zeros((B, H), xproj.dtype),
-                  jnp.zeros((B, H), xproj.dtype))
+        # the recurrence runs in f32 regardless of the input-projection
+        # compute dtype (matches the Pallas kernels; also keeps the scan
+        # carry dtype stable when a folded bf16 wi_eff meets the f32 wh)
+        xproj = (xf @ wi).astype(jnp.float32)  # [B, L, 4H] one MXU matmul
+        wh = wh.astype(jnp.float32)
+        bh = bh.astype(jnp.float32)
+        carry0 = (jnp.zeros((B, H), jnp.float32),
+                  jnp.zeros((B, H), jnp.float32))
 
         def step(carry, inp):
             c, hid = carry

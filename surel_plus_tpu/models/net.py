@@ -184,7 +184,14 @@ class Net(nn.Module):
                 w2, bias2 = pe.project_raw()
                 c2 = 2.0 * bias2.astype(jnp.float32)[None]
                 keys = None
-                if (joined.kown is not None
+                # Phase-split (measured on TPU v5e, scripts/
+                # probe_fused_ab.py): the keys-direct kernel wins
+                # INFERENCE (90.8k vs 56.6k q/s) but its chunked-BPTT
+                # backward runs a VMEM-bound tb=16 row tile that starves
+                # the MXU — TRAINING is faster through the folded XLA
+                # scan (15.6k vs 12.1k q/s), which still skips the
+                # projected per-slot tensor via the wi-fold.
+                if (not train and joined.kown is not None
                         and joined.kcross_al is not None
                         and self.key_layout is not None):
                     # recurrence straight from the packed keys: the
@@ -199,8 +206,8 @@ class Net(nn.Module):
                     keys = (joined.kown, joined.kcross_al, joined.mask,
                             u_ext, int(nw).bit_length(),
                             joined.kown_root, joined.kcross_al_root)
-                agg = aggr(hsum, joined.mask, fast=True, fold=(w2, c2),
-                           keys=keys)
+                agg = aggr(hsum, joined.mask, fast=not train,
+                           fold=(w2, c2), keys=keys)
             else:
                 x = pe.project(hsum) + b2v
                 agg = aggr(x, joined.mask)
