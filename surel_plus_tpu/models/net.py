@@ -184,14 +184,7 @@ class Net(nn.Module):
                 w2, bias2 = pe.project_raw()
                 c2 = 2.0 * bias2.astype(jnp.float32)[None]
                 keys = None
-                # Phase-split (measured on TPU v5e, scripts/
-                # probe_fused_ab.py): the keys-direct kernel wins
-                # INFERENCE (90.8k vs 56.6k q/s) but its chunked-BPTT
-                # backward runs a VMEM-bound tb=16 row tile that starves
-                # the MXU — TRAINING is faster through the folded XLA
-                # scan (15.6k vs 12.1k q/s), which still skips the
-                # projected per-slot tensor via the wi-fold.
-                if (not train and joined.kown is not None
+                if (joined.kown is not None
                         and joined.kcross_al is not None
                         and self.key_layout is not None):
                     # recurrence straight from the packed keys: the
@@ -206,7 +199,14 @@ class Net(nn.Module):
                     keys = (joined.kown, joined.kcross_al, joined.mask,
                             u_ext, int(nw).bit_length(),
                             joined.kown_root, joined.kcross_al_root)
-                agg = aggr(hsum, joined.mask, fast=not train,
+                # keys path: transposed-layout kernel, fast in BOTH
+                # phases (tb=128 fwd and BPTT). x-based fallback: the
+                # flat kernel's backward is VMEM-bound (tb=16 starves
+                # the MXU — measured 12.1k vs the scan's 15.6k q/s,
+                # scripts/probe_fused_ab.py), so training without keys
+                # uses the folded XLA scan instead.
+                agg = aggr(hsum, joined.mask,
+                           fast=keys is not None or not train,
                            fold=(w2, c2), keys=keys)
             else:
                 x = pe.project(hsum) + b2v

@@ -51,7 +51,7 @@ def _pad_ell(ell: int, tb: int, chunk: int) -> int:
 
 
 def _klstm_bwd_vmem(tb, ell, chunk, hd, hh, nbx, has_root) -> int:
-    """f32/uint32 bytes resident per grid cell of _klstm_bwd_call:
+    """f32/uint32 bytes resident per grid cell of the x-based _lstm_bwd_call:
     scratch + input blocks + outputs. VMEM tiles pad the LANE (minor)
     dim to 128, so the [.., hd+1] / [.., hh] scratch really occupies
     128-lane rows — count that, or the auto-shrink underestimates and
@@ -69,19 +69,6 @@ def _klstm_bwd_vmem(tb, ell, chunk, hd, hh, nbx, has_root) -> int:
     outs = (nbx + 1) * lp(hdp) + hdp * lp(4 * hh) + hh * lp(4 * hh) \
         + lp(4 * hh)
     return 4 * (scratch + keys + ops + outs)
-
-
-def _klstm_fwd_vmem(tb, ell, chunk, hd, hh, nbx, has_root) -> int:
-    """Forward-kernel VMEM: only the hs scratch + operands (no dhs, no
-    BPTT chunk scratch) — so the forward can run a much larger row tile
-    than the backward (bigger recurrence matmuls, fewer grid cells)."""
-    lp = lambda n: -(-n // 128) * 128
-    hdp = hd + 1
-    scratch = tb * ell * lp(hdp)
-    keys = (5 if has_root else 3) * tb * ell
-    ops = ((nbx + 1) * lp(hdp) + hdp * lp(4 * hh) + hh * lp(4 * hh)
-           + lp(4 * hh))
-    return 4 * (scratch + keys + ops + tb * lp(hh))
 
 
 def _shrink_tiles(tb, chunk, ell, vmem_of):
@@ -363,15 +350,32 @@ def lstm_final_hidden(x: jax.Array, mask: jax.Array, wi: jax.Array,
     return out[:b]
 
 
+
+
 # ---------------------------------------------------------------------------
-# Mega-fusion: LSTM directly from packed keys. The per-slot hidden rows
-# hs = relu(f(kown) U) + relu(f(kcross) U) are computed into VMEM
-# scratch (chunked over L) and the recurrence runs off that scratch; the
-# backward extends the chunked BPTT to write per-step dhs into scratch
-# and contract dU = fields^T dz in-kernel — so, unlike the hsum + fold
-# pipeline, nothing [B, L, h]-sized ever reaches HBM in either
-# direction. The projection fold (models/layers.py) rides the effective
-# input weights wi_f = W2 @ wi and bias bh_f = bh + c2 @ wi.
+# Mega-fusion: LSTM directly from packed keys, TRANSPOSED layout.
+#
+# The key planes arrive as [ellp, bp] — set SLOTS on sublanes, set rows
+# on LANES — so every per-step access (keys, roots, mask) is a
+# dynamic-SUBLANE slice, which Mosaic allows (dynamic-LANE loads are
+# rejected on hardware; scripts/probe_mosaic_dyn.py). That makes the
+# per-slot hidden rows
+#     xt = relu(f(kown_t) U) + relu(f(kcross_t) U)          [tb, hdp]
+# recomputable ON EVERY STEP from two [nbx, tb] x [nbx, hdp] MXU
+# contractions (~2% of the step's gate-matmul FLOPs), which deletes the
+# first-generation kernel's full-sequence hs/dhs VMEM scratch — the
+# buffers whose 2*tb*ell*128 f32 footprint forced its backward down to
+# a tb=16 row tile (measured 12.1k q/s train on TPU v5e vs the XLA
+# scan's 15.6k; scripts/probe_fused_ab.py). With nothing sequence-sized
+# resident, the row tile is the full 128-lane width: every gate matmul
+# runs [128, hdp] x [hdp, 4H], and the backward stores only
+# chunk-boundary carries plus per-chunk (c_prev, h_prev) planes — the
+# gate activations are recomputed inside the reverse walk from those.
+#
+# The slot-valid mask still rides the extended operands (u2 =
+# [[U, 0], [0, 1]] lands it in the hidden rows' last LANE; keep =
+# xt[:, -1:] > 0) because a [1, tb] mask row cannot become the [tb, 1]
+# gate-shaped flag in-kernel (lane<->sublane relayout, unsupported).
 
 def _be2_of(k_flat, root_flat, mk_f, u2, shift):
     """Extended fields operand [nbx+1, R]: the usual field rows plus the
@@ -390,83 +394,80 @@ def _be2_of(k_flat, root_flat, mk_f, u2, shift):
     return jnp.concatenate([be, mk_f[None, :]], axis=0)
 
 
-def _hs_into(hs_ref, ko_ref, kc_ref, ro_ref, rc_ref, mk_ref, u2, shift,
-             ell, rchunk):
-    """Fill hs_ref [tb, ell, hd+1] with the pair-summed hidden rows;
-    lane hd carries 2x the slot-valid mask (relu'd from both sides).
+def _klstm_t_vmem(tb, ell, chunk, hdp, hh, nbx1, has_root) -> int:
+    """f32/int32 bytes resident per grid cell of the transposed
+    backward: chunk scratch + key planes + operands + grad outputs.
+    Lane (minor) dims pad to 128 — count that or the chunk picker
+    overestimates what fits."""
+    lp = lambda n: -(-n // 128) * 128
+    ellp = -(-ell // chunk) * chunk
+    nch = ellp // chunk
+    scratch = 2 * (nch + chunk) * tb * lp(hh)   # bc/bhh + sc/shp
+    keys = (5 if has_root else 3) * ellp * lp(tb)
+    ops = (nbx1 * lp(hdp) + hdp * lp(4 * hh) + hh * lp(4 * hh)
+           + lp(4 * hh) + tb * lp(hh))
+    outs = nbx1 * lp(hdp) + hdp * lp(4 * hh) + hh * lp(4 * hh) \
+        + lp(4 * hh)
+    return 4 * (scratch + keys + ops + outs)
 
-    Key/mask refs are FLAT [1, tb*ell] lane vectors (row-major), so the
-    work chunks over ROWS (contiguous flat slices) to bound z
-    temporaries."""
-    from surel_plus_tpu.ops.pallas.hidden_sum_kernel import _CONTRACT_BITS
 
-    tb, _, hdp = hs_ref.shape
-    for r0 in range(0, tb, rchunk):
-        rc_n = min(rchunk, tb - r0)
-        sl = slice(r0 * ell, (r0 + rc_n) * ell)
-        mkv = mk_ref[0, sl].astype(jnp.float32)
-        ro = None if ro_ref is None else ro_ref[0, sl]
-        rr = None if rc_ref is None else rc_ref[0, sl]
-        zo = jax.lax.dot_general(
-            _be2_of(ko_ref[0, sl], ro, mkv, u2, shift), u2,
-            dimension_numbers=_CONTRACT_BITS,
+def _pick_chunk(ell, tb, hdp, hh, nbx1, has_root) -> int:
+    """Largest power-of-two BPTT chunk fitting the VMEM budget. The
+    footprint is U-shaped in chunk (boundary carries ~ell/chunk, chunk
+    scratch ~chunk), so probe candidates instead of halving."""
+    budget = _vmem_budget()
+    for cand in (64, 32, 16, 8):
+        if _klstm_t_vmem(tb, ell, cand, hdp, hh, nbx1,
+                         has_root) <= budget:
+            return cand
+    return 8
+
+
+def _kt_z(ko_ref, kc_ref, ro_ref, rc_ref, mk_ref, u2, shift, t):
+    """Recompute step t's pre-relu hidden rows from the transposed key
+    planes: ((be_own, z_own), (be_cross, z_cross)), be [nbx, tb],
+    z [tb, hdp]. Lane hdp-1 of z carries the slot-valid mask (via the
+    mask row of be2 and u2's unit column)."""
+    from surel_plus_tpu.ops.pallas.hidden_sum_kernel import (
+        _CONTRACT_BITS)
+
+    tb = ko_ref.shape[1]
+    mkv = mk_ref[pl.ds(t, 1), :].reshape(tb).astype(jnp.float32)
+
+    def side(k_ref, r_ref):
+        kv = k_ref[pl.ds(t, 1), :].reshape(tb)
+        rv = (None if r_ref is None
+              else r_ref[pl.ds(t, 1), :].reshape(tb))
+        be = _be2_of(kv, rv, mkv, u2, shift)
+        z = jax.lax.dot_general(
+            be, u2, dimension_numbers=_CONTRACT_BITS,
             preferred_element_type=jnp.float32)
-        zc = jax.lax.dot_general(
-            _be2_of(kc_ref[0, sl], rr, mkv, u2, shift), u2,
-            dimension_numbers=_CONTRACT_BITS,
-            preferred_element_type=jnp.float32)
-        hs = jnp.maximum(zo, 0.0) + jnp.maximum(zc, 0.0)
-        hs_ref[r0:r0 + rc_n] = hs.reshape(rc_n, ell, hdp)
+        return be, z
+
+    return side(ko_ref, ro_ref), side(kc_ref, rc_ref)
 
 
-def _du_from_dhs(ko_ref, kc_ref, ro_ref, rc_ref, mk_ref, dhs_ref, u2,
-                 shift, ell, rchunk):
-    """dU2 = sum over slots of be2^T ((z > 0) * dhs), both sides.
-    The mask row/column of dU2 is sliced away by the caller-side pad
-    VJP (lstm_from_keys builds u2 with jnp.pad, so JAX undoes it)."""
-    from surel_plus_tpu.ops.pallas.hidden_sum_kernel import _CONTRACT_BITS
-
-    tb = dhs_ref.shape[0]
-    acc = jnp.zeros(u2.shape, jnp.float32)
-    for r0 in range(0, tb, rchunk):
-        rc_n = min(rchunk, tb - r0)
-        sl = slice(r0 * ell, (r0 + rc_n) * ell)
-        dhs = dhs_ref[r0:r0 + rc_n].reshape(rc_n * ell, u2.shape[1])
-        mkv = mk_ref[0, sl].astype(jnp.float32)
-        for k_ref, r_ref in ((ko_ref, ro_ref), (kc_ref, rc_ref)):
-            r = None if r_ref is None else r_ref[0, sl]
-            be2 = _be2_of(k_ref[0, sl], r, mkv, u2, shift)
-            z = jax.lax.dot_general(
-                be2, u2, dimension_numbers=_CONTRACT_BITS,
-                preferred_element_type=jnp.float32)
-            dz = jnp.where(z > 0, dhs, 0.0)
-            acc += jnp.dot(be2, dz, preferred_element_type=jnp.float32)
-    return acc
-
-
-_ZCHUNK = 8   # rows per hidden-recompute chunk
-
-
-def _klstm_fwd_kernel(ell, shift, has_root, *refs):
+def _klstm_t_fwd_kernel(ell, shift, has_root, *refs):
     if has_root:
         (ko_ref, kc_ref, ro_ref, rc_ref, mk_ref, u_ref, wi_ref, wh_ref,
-         bh_ref, out_ref, hs_ref) = refs
+         bh_ref, out_ref) = refs
     else:
         (ko_ref, kc_ref, mk_ref, u_ref, wi_ref, wh_ref, bh_ref,
-         out_ref, hs_ref) = refs
+         out_ref) = refs
         ro_ref = rc_ref = None
-    tb, _, hdp = hs_ref.shape
+    tb = ko_ref.shape[1]
     hh = wh_ref.shape[0]
-    u = u_ref[:]
+    hdp = u_ref.shape[1]
+    u2 = u_ref[:]
     wi = wi_ref[:]
     wh = wh_ref[:]
     bh = bh_ref[:]
-    _hs_into(hs_ref, ko_ref, kc_ref, ro_ref, rc_ref, mk_ref, u, shift,
-             ell, _ZCHUNK)
 
     def step(t, carry):
         c, hid = carry
-        xt = hs_ref[:, pl.ds(t, 1), :].reshape(tb, hdp)
+        (_, zo), (_, zc) = _kt_z(ko_ref, kc_ref, ro_ref, rc_ref, mk_ref,
+                                 u2, shift, t)
+        xt = jnp.maximum(zo, 0.0) + jnp.maximum(zc, 0.0)
         gates = (jnp.dot(xt, wi, preferred_element_type=jnp.float32)
                  + jnp.dot(hid, wh, preferred_element_type=jnp.float32)
                  + bh)
@@ -484,47 +485,47 @@ def _klstm_fwd_kernel(ell, shift, has_root, *refs):
     out_ref[:] = hid
 
 
-def _klstm_bwd_kernel(ell, chunk, shift, has_root, *refs):
+def _klstm_t_bwd_kernel(ell, chunk, shift, has_root, *refs):
     if has_root:
         (ko_ref, kc_ref, ro_ref, rc_ref, mk_ref, u_ref, wi_ref, wh_ref,
          bh_ref, g_ref, du_ref, dwi_ref, dwh_ref, dbh_ref,
-         hs_ref, dhs_ref, bc_ref, bhh_ref, sc_ref, shp_ref, sg_ref,
-         snc_ref) = refs
+         bc_ref, bhh_ref, sc_ref, shp_ref) = refs
     else:
         (ko_ref, kc_ref, mk_ref, u_ref, wi_ref, wh_ref, bh_ref, g_ref,
          du_ref, dwi_ref, dwh_ref, dbh_ref,
-         hs_ref, dhs_ref, bc_ref, bhh_ref, sc_ref, shp_ref, sg_ref,
-         snc_ref) = refs
+         bc_ref, bhh_ref, sc_ref, shp_ref) = refs
         ro_ref = rc_ref = None
     pid = pl.program_id(0)
-    tb, _, hdp = hs_ref.shape
-    hd = wi_ref.shape[0]
+    tb = ko_ref.shape[1]
     hh = wh_ref.shape[0]
+    hdp = u_ref.shape[1]
+    nbx1 = u_ref.shape[0]
     nch = ell // chunk
-    u = u_ref[:]
+    u2 = u_ref[:]
     wi = wi_ref[:]
     wh = wh_ref[:]
     bh = bh_ref[:]
     zero = jnp.zeros((tb, hh), jnp.float32)
-    _hs_into(hs_ref, ko_ref, kc_ref, ro_ref, rc_ref, mk_ref, u, shift,
-             ell, _ZCHUNK)
 
     def gates_of(c, hid, t):
-        xt = hs_ref[:, pl.ds(t, 1), :].reshape(tb, hd)
+        (beo, zo), (bec, zc) = _kt_z(ko_ref, kc_ref, ro_ref, rc_ref,
+                                     mk_ref, u2, shift, t)
+        xt = jnp.maximum(zo, 0.0) + jnp.maximum(zc, 0.0)
         a = (jnp.dot(xt, wi, preferred_element_type=jnp.float32)
              + jnp.dot(hid, wh, preferred_element_type=jnp.float32) + bh)
         gi = jax.nn.sigmoid(a[:, :hh])
         gf = jax.nn.sigmoid(a[:, hh:2 * hh])
         gg = jnp.tanh(a[:, 2 * hh:3 * hh])
         go = jax.nn.sigmoid(a[:, 3 * hh:])
-        nc = gf * c + gi * gg
-        nh = go * jnp.tanh(nc)
         keep = xt[:, hdp - 1:hdp] > 0
-        return gi, gf, gg, go, nc, nh, keep
+        return (beo, zo), (bec, zc), xt, gi, gf, gg, go, keep
 
+    # phase 1: forward, storing only chunk-boundary carries
     def fstep(t, carry):
         c, hid = carry
-        _, _, _, _, nc, nh, keep = gates_of(c, hid, t)
+        _, _, _, gi, gf, gg, go, keep = gates_of(c, hid, t)
+        nc = gf * c + gi * gg
+        nh = go * jnp.tanh(nc)
         return (jnp.where(keep, nc, c), jnp.where(keep, nh, hid))
 
     c = zero
@@ -535,39 +536,33 @@ def _klstm_bwd_kernel(ell, chunk, shift, has_root, *refs):
         c, hid = jax.lax.fori_loop(ci * chunk, (ci + 1) * chunk, fstep,
                                    (c, hid))
 
+    # phase 2: chunks in reverse — re-forward the chunk stashing only
+    # (c_prev, h_prev) per step, then BPTT with gates recomputed from
+    # those (the per-step key->hidden recompute is ~2% of the matmuls)
     dh = g_ref[:]
     dc = zero
-    dwi_a = jnp.zeros((hd, 4 * hh), jnp.float32)
+    du_a = jnp.zeros((nbx1, hdp), jnp.float32)
+    dwi_a = jnp.zeros((hdp, 4 * hh), jnp.float32)
     dwh_a = jnp.zeros((hh, 4 * hh), jnp.float32)
     dbh_a = jnp.zeros((1, 4 * hh), jnp.float32)
     for ci in reversed(range(nch)):
         def rstep(j, carry, ci=ci):
             c, hid = carry
-            gi, gf, gg, go, nc, nh, keep = gates_of(c, hid,
-                                                    ci * chunk + j)
             sc_ref[pl.ds(j, 1)] = c[None]
             shp_ref[pl.ds(j, 1)] = hid[None]
-            sg_ref[pl.ds(j, 1)] = jnp.concatenate(
-                [gi, gf, gg, go], axis=1)[None]
-            snc_ref[pl.ds(j, 1)] = nc[None]
-            return (jnp.where(keep, nc, c), jnp.where(keep, nh, hid))
+            return fstep(ci * chunk + j, (c, hid))
 
         jax.lax.fori_loop(0, chunk, rstep, (bc_ref[ci], bhh_ref[ci]))
 
         def bstep(jr, carry, ci=ci):
-            dc, dh, dwi_a, dwh_a, dbh_a = carry
+            dc, dh, du_a, dwi_a, dwh_a, dbh_a = carry
             j = chunk - 1 - jr
             t = ci * chunk + j
             cp = sc_ref[pl.ds(j, 1)].reshape(tb, hh)
             hp = shp_ref[pl.ds(j, 1)].reshape(tb, hh)
-            gp = sg_ref[pl.ds(j, 1)].reshape(tb, 4 * hh)
-            nc = snc_ref[pl.ds(j, 1)].reshape(tb, hh)
-            xt = hs_ref[:, pl.ds(t, 1), :].reshape(tb, hd)
-            keep = xt[:, hdp - 1:hdp] > 0
-            gi = gp[:, :hh]
-            gf = gp[:, hh:2 * hh]
-            gg = gp[:, 2 * hh:3 * hh]
-            go = gp[:, 3 * hh:]
+            (beo, zo), (bec, zc), xt, gi, gf, gg, go, keep = \
+                gates_of(cp, hp, t)
+            nc = gf * cp + gi * gg
             tnc = jnp.tanh(nc)
             dgo = dh * tnc * go * (1.0 - go)
             dnc = dc + dh * go * (1.0 - tnc * tnc)
@@ -575,7 +570,8 @@ def _klstm_bwd_kernel(ell, chunk, shift, has_root, *refs):
             dgf = dnc * cp * gf * (1.0 - gf)
             dgg = dnc * gi * (1.0 - gg * gg)
             dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=1)
-            dgates = jnp.where(keep, dgates, 0.0)
+            dgates = jnp.where(keep, dgates, 0.0)    # [tb, 4H]
+            # contraction over rows (dim 0 both): x^T dgates etc.
             cdim = (((0,), (0,)), ((), ()))
             dwi_a += jax.lax.dot_general(
                 xt, dgates, dimension_numbers=cdim,
@@ -584,22 +580,27 @@ def _klstm_bwd_kernel(ell, chunk, shift, has_root, *refs):
                 hp, dgates, dimension_numbers=cdim,
                 preferred_element_type=jnp.float32)
             dbh_a += dgates.sum(axis=0, keepdims=True)
+            # contraction over 4H (dim 1 both): dgates @ W^T
             cT = (((1,), (1,)), ((), ()))
-            dhs_ref[:, pl.ds(t, 1), :] = jax.lax.dot_general(
+            dxt = jax.lax.dot_general(
                 dgates, wi, dimension_numbers=cT,
-                preferred_element_type=jnp.float32)[:, None, :]
+                preferred_element_type=jnp.float32)   # [tb, hdp]
+            # dU through both relu sides: dU += be^T-contracted dz
+            dzo = jnp.where(zo > 0, dxt, 0.0)
+            dzc = jnp.where(zc > 0, dxt, 0.0)
+            du_a += (jnp.dot(beo, dzo,
+                             preferred_element_type=jnp.float32)
+                     + jnp.dot(bec, dzc,
+                               preferred_element_type=jnp.float32))
             dhp = jax.lax.dot_general(
                 dgates, wh, dimension_numbers=cT,
                 preferred_element_type=jnp.float32) \
                 + jnp.where(keep, 0.0, dh)
             dcp = jnp.where(keep, dnc * gf, dc)
-            return (dcp, dhp, dwi_a, dwh_a, dbh_a)
+            return (dcp, dhp, du_a, dwi_a, dwh_a, dbh_a)
 
-        dc, dh, dwi_a, dwh_a, dbh_a = jax.lax.fori_loop(
-            0, chunk, bstep, (dc, dh, dwi_a, dwh_a, dbh_a))
-
-    du_a = _du_from_dhs(ko_ref, kc_ref, ro_ref, rc_ref, mk_ref, dhs_ref,
-                        u, shift, ell, _ZCHUNK)
+        dc, dh, du_a, dwi_a, dwh_a, dbh_a = jax.lax.fori_loop(
+            0, chunk, bstep, (dc, dh, du_a, dwi_a, dwh_a, dbh_a))
 
     @pl.when(pid == 0)
     def _():
@@ -614,104 +615,93 @@ def _klstm_bwd_kernel(ell, chunk, shift, has_root, *refs):
     dbh_ref[:] += dbh_a
 
 
-def _klstm_specs(tb, ell, nbx, hd, hh, has_root):
+def _klstm_t_specs(tb, ellp, nbx1, hdp, hh, has_root):
     blk = lambda shape, imap: pl.BlockSpec(shape, imap,
                                            memory_space=pltpu.VMEM)
-    ins = [blk((1, tb * ell), lambda i: (0, i)),
-           blk((1, tb * ell), lambda i: (0, i))]
+    plane = lambda: blk((ellp, tb), lambda i: (0, i))
+    ins = [plane(), plane()]
     if has_root:
-        ins += [blk((1, tb * ell), lambda i: (0, i)),
-                blk((1, tb * ell), lambda i: (0, i))]
-    # mask rides as a flat lane vector like the keys (a [tb, ell] block
-    # would need dynamic-LANE reads in the recurrence — illegal on TPU)
-    ins += [blk((1, tb * ell), lambda i: (0, i)),
-            blk((nbx, hd), lambda i: (0, 0)),
-            blk((hd, 4 * hh), lambda i: (0, 0)),
+        ins += [plane(), plane()]
+    ins += [plane(),
+            blk((nbx1, hdp), lambda i: (0, 0)),
+            blk((hdp, 4 * hh), lambda i: (0, 0)),
             blk((hh, 4 * hh), lambda i: (0, 0)),
             blk((1, 4 * hh), lambda i: (0, 0))]
     return ins, blk
 
 
-def _klstm_fwd_call(ko, kc, roots, mk, u, wi, wh, bh, tb, ell, shift,
-                    interpret):
-    b2 = mk.shape[1] // ell
-    nbx, hd = u.shape
+def _klstm_t_fwd_call(ko, kc, roots, mk, u2, wi2, wh, bh, tb, ellp,
+                      shift, interpret):
+    bp = ko.shape[1]
+    nbx1, hdp = u2.shape
     hh = wh.shape[0]
-    ins, blk = _klstm_specs(tb, ell, nbx, hd, hh, roots is not None)
-    args = (ko, kc) + (roots or ()) + (mk, u, wi, wh, bh)
+    ins, blk = _klstm_t_specs(tb, ellp, nbx1, hdp, hh, roots is not None)
+    args = (ko, kc) + (roots or ()) + (mk, u2, wi2, wh, bh)
     return pl.pallas_call(
-        functools.partial(_klstm_fwd_kernel, ell, shift,
+        functools.partial(_klstm_t_fwd_kernel, ellp, shift,
                           roots is not None),
-        grid=(b2 // tb,),
+        grid=(bp // tb,),
         in_specs=ins,
         out_specs=blk((tb, hh), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b2, hh), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tb, ell, hd), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((bp, hh), jnp.float32),
         interpret=interpret,
     )(*args)
 
 
-def _klstm_bwd_call(ko, kc, roots, mk, u, wi, wh, bh, g, tb, ell,
-                    chunk, shift, interpret):
-    b2 = mk.shape[1] // ell
-    nbx, hd = u.shape
+def _klstm_t_bwd_call(ko, kc, roots, mk, u2, wi2, wh, bh, g, tb, ellp,
+                      chunk, shift, interpret):
+    bp = ko.shape[1]
+    nbx1, hdp = u2.shape
     hh = wh.shape[0]
-    nch = ell // chunk
-    ins, blk = _klstm_specs(tb, ell, nbx, hd, hh, roots is not None)
-    args = (ko, kc) + (roots or ()) + (mk, u, wi, wh, bh, g)
+    nch = ellp // chunk
+    ins, blk = _klstm_t_specs(tb, ellp, nbx1, hdp, hh, roots is not None)
+    args = (ko, kc) + (roots or ()) + (mk, u2, wi2, wh, bh, g)
     return pl.pallas_call(
-        functools.partial(_klstm_bwd_kernel, ell, chunk, shift,
+        functools.partial(_klstm_t_bwd_kernel, ellp, chunk, shift,
                           roots is not None),
-        grid=(b2 // tb,),
+        grid=(bp // tb,),
         in_specs=ins + [blk((tb, hh), lambda i: (i, 0))],
-        out_specs=(blk((nbx, hd), lambda i: (0, 0)),
-                   blk((hd, 4 * hh), lambda i: (0, 0)),
+        out_specs=(blk((nbx1, hdp), lambda i: (0, 0)),
+                   blk((hdp, 4 * hh), lambda i: (0, 0)),
                    blk((hh, 4 * hh), lambda i: (0, 0)),
                    blk((1, 4 * hh), lambda i: (0, 0))),
-        out_shape=(jax.ShapeDtypeStruct((nbx, hd), jnp.float32),
-                   jax.ShapeDtypeStruct((hd, 4 * hh), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((nbx1, hdp), jnp.float32),
+                   jax.ShapeDtypeStruct((hdp, 4 * hh), jnp.float32),
                    jax.ShapeDtypeStruct((hh, 4 * hh), jnp.float32),
                    jax.ShapeDtypeStruct((1, 4 * hh), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((tb, ell, hd), jnp.float32),
-                        pltpu.VMEM((tb, ell, hd), jnp.float32),
-                        pltpu.VMEM((nch, tb, hh), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nch, tb, hh), jnp.float32),
                         pltpu.VMEM((nch, tb, hh), jnp.float32),
                         pltpu.VMEM((chunk, tb, hh), jnp.float32),
-                        pltpu.VMEM((chunk, tb, hh), jnp.float32),
-                        pltpu.VMEM((chunk, tb, 4 * hh), jnp.float32),
                         pltpu.VMEM((chunk, tb, hh), jnp.float32)],
         interpret=interpret,
     )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
-def _klstm(ko, kc, roots, mk, u, wi, wh, bh, tbf, tb, ell, chunk, shift,
-           interpret):
-    # tbf: forward row tile (only the hs scratch is resident — can be
-    # much larger than the backward's tb, cutting grid cells and growing
-    # the serial recurrence's matmul rows)
-    return _klstm_fwd_call(ko, kc, roots, mk, u, wi, wh, bh, tbf, ell,
-                           shift, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _klstmt(ko, kc, roots, mk, u2, wi2, wh, bh, tb, ellp, chunk, shift,
+            interpret):
+    return _klstm_t_fwd_call(ko, kc, roots, mk, u2, wi2, wh, bh, tb,
+                             ellp, shift, interpret)
 
 
-def _klstm_fwd(ko, kc, roots, mk, u, wi, wh, bh, tbf, tb, ell, chunk,
-               shift, interpret):
-    return (_klstm_fwd_call(ko, kc, roots, mk, u, wi, wh, bh, tbf, ell,
-                            shift, interpret),
-            (ko, kc, roots, mk, u, wi, wh, bh))
+def _klstmt_fwd(ko, kc, roots, mk, u2, wi2, wh, bh, tb, ellp, chunk,
+                shift, interpret):
+    return (_klstm_t_fwd_call(ko, kc, roots, mk, u2, wi2, wh, bh, tb,
+                              ellp, shift, interpret),
+            (ko, kc, roots, mk, u2, wi2, wh, bh))
 
 
-def _klstm_bwd(tbf, tb, ell, chunk, shift, interpret, res, g):
-    ko, kc, roots, mk, u, wi, wh, bh = res
-    du, dwi, dwh, dbh = _klstm_bwd_call(
-        ko, kc, roots, mk, u, wi, wh, bh, g.astype(jnp.float32), tb,
-        ell, chunk, shift, interpret)
+def _klstmt_bwd(tb, ellp, chunk, shift, interpret, res, g):
+    ko, kc, roots, mk, u2, wi2, wh, bh = res
+    du, dwi, dwh, dbh = _klstm_t_bwd_call(
+        ko, kc, roots, mk, u2, wi2, wh, bh, g.astype(jnp.float32), tb,
+        ellp, chunk, shift, interpret)
     f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
     rz = None if roots is None else tuple(f0(r) for r in roots)
     return f0(ko), f0(kc), rz, f0(mk), du, dwi, dwh, dbh
 
 
-_klstm.defvjp(_klstm_fwd, _klstm_bwd)
+_klstmt.defvjp(_klstmt_fwd, _klstmt_bwd)
 
 
 def lstm_from_keys(kown: jax.Array, kcross_al: jax.Array,
@@ -719,7 +709,7 @@ def lstm_from_keys(kown: jax.Array, kcross_al: jax.Array,
                    wh: jax.Array, bh: jax.Array, shift: int,
                    root_own: jax.Array | None = None,
                    root_cross: jax.Array | None = None,
-                   tb: int = 32, chunk: int = 32,
+                   tb: int = 128, chunk: int | None = None,
                    interpret: bool | None = None) -> jax.Array:
     """Masked LSTM final hidden directly from packed keys -> [Q, B, H].
 
@@ -727,46 +717,39 @@ def lstm_from_keys(kown: jax.Array, kcross_al: jax.Array,
     u_ext as in fused_key_hidden_sum (hidden rows = relu both sides
     summed); wi [h, 4H] (projection-folded input weights), wh [H, 4H],
     bh [4H]. Differentiable wrt u_ext/wi/wh/bh; the per-slot hidden rows
-    exist only in VMEM in both directions."""
+    exist only as per-step registers in both directions (transposed
+    layout — see the section comment above)."""
     if interpret is None:
         interpret = _default_interpret()
     q, b, ell = kown.shape
     hh = wh.shape[0]
     nbx, hd = u_ext.shape
     b2 = q * b
-    tb = min(tb, max(8, b2))
-    chunk = min(chunk, ell)
-    # auto-shrink tiles so each kernel's VMEM residency fits the chip.
-    # The backward holds hs+dhs+BPTT chunk scratch (tb=16 at L=301->320,
-    # h=H=96); the forward holds only hs, so it runs a larger tile (64).
     has_root = root_own is not None
-    tb, chunk = _shrink_tiles(
-        tb, chunk, ell,
-        lambda t, e, c: _klstm_bwd_vmem(t, e, c, hd, hh, nbx, has_root))
-    tbf, _ = _shrink_tiles(
-        max(tb, min(64, max(8, b2))), chunk, ell,
-        lambda t, e, c: _klstm_fwd_vmem(t, e, c, hd, hh, nbx, has_root))
-    tbf = max(tbf, tb)
-    bp = -(-b2 // max(tb, tbf)) * max(tb, tbf)
-    # flat key blocks need (tb*ellp) % 128 == 0 for BOTH tiles (the
-    # smaller tile's constraint is the binding one since tiles are
-    # powers of two) AND ellp % chunk == 0
-    ellp = _pad_ell(ell, min(tb, tbf), chunk)
+    # row tile: the full 128-lane width when there are enough rows (a
+    # block's minor dim must be %128 or the whole array); nothing
+    # sequence-sized is VMEM-resident, so tb never shrinks below that
+    tb = min(tb, 128) if b2 >= 128 else b2
+    bp = -(-b2 // tb) * tb
+    if chunk is None:
+        chunk = _pick_chunk(ell, tb, hd + 1, hh, nbx + 1, has_root)
+    chunk = min(chunk, max(8, ell))
+    ellp = -(-ell // chunk) * chunk
 
     def prep(a, fill=0):
         a = a.reshape(b2, ell)
-        pads = [(0, bp - b2), (0, ellp - ell)]
         if bp != b2 or ellp != ell:
-            a = jnp.pad(a, pads, constant_values=fill)
-        return a
+            a = jnp.pad(a, [(0, bp - b2), (0, ellp - ell)],
+                        constant_values=fill)
+        return a.T          # [ellp, bp]: slots on sublanes, rows on lanes
 
-    ko = prep(kown).reshape(1, bp * ellp)
-    kc = prep(kcross_al).reshape(1, bp * ellp)
-    mk = prep(mask.astype(jnp.int32)).reshape(1, bp * ellp)
+    ko = prep(kown)
+    kc = prep(kcross_al)
+    mk = prep(mask.astype(jnp.int32))
     roots = None
     if root_own is not None:
-        roots = (prep(root_own.astype(jnp.int32)).reshape(1, bp * ellp),
-                 prep(root_cross.astype(jnp.int32)).reshape(1, bp * ellp))
+        roots = (prep(root_own.astype(jnp.int32)),
+                 prep(root_cross.astype(jnp.int32)))
     # Extended operands: u2 = [[U, 0], [0, 1]] lands the slot-valid mask
     # in the hidden rows' last lane (see _be2_of); wi2's matching zero
     # row keeps the gate matmuls exact. jnp.pad's VJP slices dU/dwi back
@@ -774,8 +757,8 @@ def lstm_from_keys(kown: jax.Array, kcross_al: jax.Array,
     u2 = jnp.pad(u_ext.astype(jnp.float32), [(0, 1), (0, 1)])
     u2 = u2.at[nbx, hd].set(1.0)
     wi2 = jnp.pad(wi.astype(jnp.float32), [(0, 1), (0, 0)])
-    out = _klstm(ko, kc, roots, mk, u2, wi2,
-                 wh.astype(jnp.float32),
-                 bh.reshape(1, -1).astype(jnp.float32), tbf, tb, ellp,
-                 chunk, shift, interpret)
+    out = _klstmt(ko, kc, roots, mk, u2, wi2,
+                  wh.astype(jnp.float32),
+                  bh.reshape(1, -1).astype(jnp.float32), tb, ellp,
+                  chunk, shift, interpret)
     return out[:b2].reshape(q, b, hh)
