@@ -18,6 +18,7 @@ from surel_plus_tpu.models.layers import MergeLayer, MLP2, masked_mean
 from surel_plus_tpu.ops.join import JoinedBatch
 from surel_plus_tpu.ops.pallas.hidden_sum_kernel import (
     NEG,
+    fused_fits,
     fused_key_hidden_sum,
     u_core_rows,
 )
@@ -47,7 +48,13 @@ class HONet(nn.Module):
             fuse = jax.default_backend() == "tpu"
         if (fuse and joined.kown is not None
                 and joined.kcross_mask is not None
-                and self.key_layout is not None):
+                and self.key_layout is not None
+                # four hyperedge groups at large L blow the kernel's
+                # scoped VMEM (measured 18.04 MB at M=200/q=4 on v5e):
+                # fall back to the XLA path when the z planes can't fit
+                and fused_fits(joined.kown.shape[-1],
+                               joined.kcross.shape[-1],
+                               self.hidden_dim, q=4)):
             nw, ns = self.key_layout
             w1, b1 = pe.hidden_raw(ns + 1)
             u = u_core_rows(w1, nw, ns)

@@ -31,6 +31,7 @@ from surel_plus_tpu.models.layers import (
 from surel_plus_tpu.ops.join import JoinedBatch
 from surel_plus_tpu.ops.pallas.hidden_sum_kernel import (
     NEG,
+    fused_fits,
     fused_key_hidden_sum,
     u_core_rows,
 )
@@ -100,7 +101,12 @@ class Net(nn.Module):
             fuse = jax.default_backend() == "tpu"
         if (fuse and self.aggrs == "mean" and joined.kown is not None
                 and joined.kcross_mask is not None
-                and self.key_layout is not None):
+                and self.key_layout is not None
+                # huge-L configs can blow the kernel's scoped VMEM:
+                # fall back to the XLA path when the z planes can't fit
+                and fused_fits(joined.kown.shape[-1],
+                               joined.kcross.shape[-1],
+                               self.hidden_dim)):
             # Fused path: one Pallas pass per batch computes
             #   sum_l mask[l] * (relu(f(kown[l]) W1 + b1)
             #                  + relu(f(kcross[l]) W1 + b1))
@@ -154,7 +160,10 @@ class Net(nn.Module):
                 c2 = 2.0 * bias2.astype(jnp.float32)[None]
                 if (joined.kown is not None
                         and joined.kcross_al is not None
-                        and self.key_layout is not None):
+                        and self.key_layout is not None
+                        and fused_fits(joined.kown.shape[-1],
+                                       joined.kcross_al.shape[-1],
+                                       self.hidden_dim)):
                     # one Pallas pass keys -> pooled (custom VJP): the
                     # per-slot hidden rows never reach HBM in either
                     # direction (the hsum computed above goes dead and

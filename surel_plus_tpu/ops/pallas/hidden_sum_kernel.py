@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +50,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e9      # masked-slot logit offset (relu clamps to 0)
+
+
+def _vmem_budget() -> int:
+    """Scoped-VMEM limit the fused_fits estimate is compared against.
+    Mosaic's stack limit is 16 MB/core; the estimate's coefficients are
+    calibrated on hardware observations (see fused_fits), so the margin
+    lives in them, not here."""
+    return int(os.environ.get("SUREL_HSUM_VMEM_BUDGET", 16 * 2**20))
+
+
+def fused_fits(ell: int, lc: int, h: int, q: int = 2,
+               tb: int = 8) -> bool:
+    """Whether the fused kernels' z-plane working set fits scoped VMEM
+    at the minimum legal row tile (tb=8 — the [q, tb, h] output block's
+    sublane dim must be %8, so tb cannot shrink further; in-kernel
+    row/slot chunking is also out, because chunk slices carry lane
+    offsets that Mosaic's concatenate rejects, "result/input offset
+    mismatch on non-concat dimension" — both measured on v5e r3). The
+    footprint is the [tb*ell(c), 128-lane] f32 hidden planes; Mosaic
+    keeps roughly one own-side plane alive per unrolled group iteration
+    plus the shared cross planes. Calibrated on two v5e observations at
+    M=200 (slots=801): q=4 OOMs at a measured 18.04 MB scoped
+    allocation, q=2 compiles and runs — `q*ello + 1.4*ellc` plane-slots
+    separates them (21.8 MB vs 15.9 MB estimated). Every published link
+    config (q=2, L<=304) sits near 6 MB. Callers fall back to the XLA
+    path when this returns False (models/net.py, models/honet.py)."""
+    step = 128 // math.gcd(tb, 128)
+    ello = -(-ell // step) * step
+    ellc = -(-lc // step) * step
+    lp = -(-h // 128) * 128
+    est = 4 * lp * tb * (q * ello + 1.4 * ellc)
+    return est <= _vmem_budget()
 
 
 def u_core_rows(w1: jax.Array, num_walks: int, num_steps: int) -> jax.Array:
