@@ -67,6 +67,13 @@ def main():
     # warm the scoring program on one batch-aligned chunk
     _ = float(tr.predict(params, pos_edges)[0])
 
+    # Host-chunked negatives measured FASTEST of three variants on the
+    # tunneled v5e (r3): 12.8x A100 — the np.repeat/RNG and the ~32 MB
+    # per-chunk uploads overlap the device's async scoring, and 0.80M
+    # pairs/s equals the measured inference rate (the probe is
+    # compute-bound, not transfer-bound). Rejected: 20 on-device chunks
+    # = 8.1x (each extra jitted call costs ~1 s dispatch roundtrip);
+    # ONE 80M-pair program = the TPU worker process crashes.
     t0 = time.time()
     pos_scores = tr.predict(params, pos_edges)
     CH = 4_000_000  # negatives scored in 4M-pair device chunks
