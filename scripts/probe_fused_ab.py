@@ -30,9 +30,12 @@ from surel_plus_tpu.train.device import trainer_from_keys  # noqa: E402
 
 
 def main():
+    # spec grammar: aggr[:fused01]; env M/S override the walk shape
+    # (M=200 S=4 = the ppa/tags lead-in-hi layout)
     specs = sys.argv[1:] or ["lstm:0", "lstm:1"]
     num_nodes, num_edges = 250_000, 2_500_000
-    M, S = 100, 3
+    M = int(os.environ.get("M", "100"))
+    S = int(os.environ.get("S", "3"))
     bs, epoch_edges, n_epochs = 4096, 16 * 4096, 4
 
     g = rmat_graph(num_nodes, num_edges, seed=0)

@@ -512,3 +512,24 @@ def test_fused_kernels_odd_shapes():
                          p["bh"], SHIFT, chunk=4, interpret=True)
     np.testing.assert_allclose(np.asarray(got).reshape(Q * B, H),
                                np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_fits_vmem_gate():
+    """The scoped-VMEM predicate separates the two hardware-calibrated
+    M=200 observations (q=4 OOMs at a measured 18.04 MB, q=2 runs) and
+    accepts every published link config; Net/HONet fall back to the XLA
+    path when it returns False, so a False here must still produce
+    correct scores through the unfused branch (covered by the parity
+    tests above — this pins the gate itself)."""
+    from surel_plus_tpu.ops.pallas.hidden_sum_kernel import fused_fits
+
+    # published link configs (q=2, cross plane = 2L): all fused
+    assert fused_fits(301, 602, 96)          # M=100 S'=3 (collab etc.)
+    assert fused_fits(801, 1602, 96)         # M=200 S'=4 (ppa) — ran
+    # slot-aligned cross (attn/per-slot paths): also fused at M=200
+    assert fused_fits(801, 801, 96)
+    # HONet's four groups at M=200: measured 18.04 MB scoped OOM on
+    # v5e — must gate off
+    assert not fused_fits(801, 1602, 96, q=4)
+    # but HONet at the M=100 shapes stays fused
+    assert fused_fits(301, 602, 96, q=4)
