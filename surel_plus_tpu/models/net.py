@@ -163,7 +163,8 @@ class Net(nn.Module):
                         and self.key_layout is not None
                         and fused_fits(joined.kown.shape[-1],
                                        joined.kcross_al.shape[-1],
-                                       self.hidden_dim)):
+                                       self.hidden_dim,
+                                       w_own=3.5, w_cross=3.5)):
                     # one Pallas pass keys -> pooled (custom VJP): the
                     # per-slot hidden rows never reach HBM in either
                     # direction (the hsum computed above goes dead and

@@ -61,26 +61,36 @@ def _vmem_budget() -> int:
 
 
 def fused_fits(ell: int, lc: int, h: int, q: int = 2,
-               tb: int = 8) -> bool:
-    """Whether the fused kernels' z-plane working set fits scoped VMEM
+               tb: int = 8, w_own: float | None = None,
+               w_cross: float = 1.4) -> bool:
+    """Whether a fused kernel's z-plane working set fits scoped VMEM
     at the minimum legal row tile (tb=8 — the [q, tb, h] output block's
     sublane dim must be %8, so tb cannot shrink further; in-kernel
     row/slot chunking is also out, because chunk slices carry lane
     offsets that Mosaic's concatenate rejects, "result/input offset
     mismatch on non-concat dimension" — both measured on v5e r3). The
-    footprint is the [tb*ell(c), 128-lane] f32 hidden planes; Mosaic
-    keeps roughly one own-side plane alive per unrolled group iteration
-    plus the shared cross planes. Calibrated on two v5e observations at
-    M=200 (slots=801): q=4 OOMs at a measured 18.04 MB scoped
-    allocation, q=2 compiles and runs — `q*ello + 1.4*ellc` plane-slots
-    separates them (21.8 MB vs 15.9 MB estimated). Every published link
-    config (q=2, L<=304) sits near 6 MB. Callers fall back to the XLA
-    path when this returns False (models/net.py, models/honet.py)."""
+    footprint is the [tb*ell(c), 128-lane] f32 hidden planes, weighted
+    per kernel:
+
+    * set-sum (default w_own=q, w_cross=1.4): calibrated on three v5e
+      observations at M=200 (slots=801) — q=4 OOMs at a measured
+      18.04 MB scoped allocation; q=2 compiles and runs fused end to
+      end (178.7k q/s train). Every link config (q=2, L<=304) ~6 MB.
+    * attn pool (callers pass w_own=w_cross=3.5): its backward keeps
+      ~7 slot-aligned planes alive (z both sides, softmax weights and
+      their VJP, pooled-grad broadcast) — measured 22.51 MB OOM at
+      M=200/q=2 where the estimate gives 22.9 MB; link shapes ~8.7 MB
+      run (bench.py's attn rows).
+
+    Callers fall back to the XLA path when this returns False
+    (models/net.py, models/honet.py)."""
     step = 128 // math.gcd(tb, 128)
     ello = -(-ell // step) * step
     ellc = -(-lc // step) * step
     lp = -(-h // 128) * 128
-    est = 4 * lp * tb * (q * ello + 1.4 * ellc)
+    if w_own is None:
+        w_own = float(q)
+    est = 4 * lp * tb * (w_own * ello + w_cross * ellc)
     return est <= _vmem_budget()
 
 

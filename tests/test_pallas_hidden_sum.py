@@ -533,3 +533,7 @@ def test_fused_fits_vmem_gate():
     assert not fused_fits(801, 1602, 96, q=4)
     # but HONet at the M=100 shapes stays fused
     assert fused_fits(301, 602, 96, q=4)
+    # attn pool weights (backward keeps ~7 slot-aligned planes alive):
+    # link shapes fused, M=200 gates off (measured 22.51 MB OOM)
+    assert fused_fits(301, 301, 96, w_own=3.5, w_cross=3.5)
+    assert not fused_fits(801, 801, 96, w_own=3.5, w_cross=3.5)
