@@ -318,4 +318,6 @@ class LSTMAggregation(nn.Module):
                                 unroll=min(self.unroll, chunk))
 
         (c, hidden), _ = jax.lax.scan(chunk_body, carry0, (xs_x, xs_m))
-        return hidden.reshape((*batch_shape, H))
+        # match the fast paths' `hidden.astype(x.dtype)` output contract
+        # (the recurrence itself runs f32 regardless)
+        return hidden.reshape((*batch_shape, H)).astype(xf.dtype)

@@ -728,8 +728,11 @@ def lstm_from_keys(kown: jax.Array, kcross_al: jax.Array,
     has_root = root_own is not None
     # row tile: the full 128-lane width when there are enough rows (a
     # block's minor dim must be %128 or the whole array); nothing
-    # sequence-sized is VMEM-resident, so tb never shrinks below that
-    tb = min(tb, 128) if b2 >= 128 else b2
+    # sequence-sized is VMEM-resident, so tb never shrinks below that —
+    # and it MUST not: with b2 >= 128 any tb < 128 makes the key-plane
+    # blocks' lane dim illegal on hardware, so the caller's tb is only
+    # honored for sub-128 row counts
+    tb = 128 if b2 >= 128 else b2
     bp = -(-b2 // tb) * tb
     if chunk is None:
         chunk = _pick_chunk(ell, tb, hd + 1, hh, nbx + 1, has_root)

@@ -57,7 +57,10 @@ def _native_lib():
 
 
 def _ppr_push_numpy(indptr, indices, seeds, alpha, eps, topk):
-    """Vectorized-per-frontier numpy Andersen push (fallback path)."""
+    """Per-seed Python dict/loop Andersen push — a SLOW correctness
+    fallback for when the g++ toolchain is missing (the real
+    implementation is native/ppr.cpp); fine for tests/toy graphs,
+    pathological beyond that."""
     n = len(indptr) - 1
     deg = np.diff(indptr)
     out_nodes = np.zeros((len(seeds), topk), np.int32)

@@ -87,6 +87,13 @@ class ResultLogger:
             self.results: Union[Dict, list] = {
                 f"Hits@{k}": [[] for _ in range(runs)]
                 for k in (10, 20, 50, 100)}
+            if metric not in self.results:
+                # the eval paths compute K in {10,20,50,100} only
+                # (train/device.py, train/loop.py); fail loudly instead
+                # of KeyError-ing mid-run on e.g. Hits@30
+                raise ValueError(
+                    f"unsupported metric {metric!r}: Hits@K is computed "
+                    f"for K in (10, 20, 50, 100)")
         else:
             self.results = [[] for _ in range(runs)]
 

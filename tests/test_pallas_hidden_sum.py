@@ -419,6 +419,29 @@ def test_lead_in_hi_layout_fused_matches_unfused():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
 
+    # gradients through the keys-LSTM kernel with root planes: the
+    # transposed-layout backward's lead-in-hi root handling is
+    # otherwise untested (forward-only above; the grad parity test in
+    # test_net_fused_slots uses a lead-in-lo join whose roots are None)
+    kwl = dict(input_dim=NS2 + 1, hidden_dim=16, aggrs="lstm",
+               dropout=0.0, dtype="float32", key_layout=(NW2, NS2))
+    m0 = Net(fused_hidden=False, **kwl)
+    m1 = Net(fused_hidden=True, **kwl)
+    p = m0.init(jax.random.PRNGKey(0), enc, joined)
+    rngs = {"dropout": jax.random.PRNGKey(1)}
+
+    def lloss(q, m):
+        out = m.apply(q, enc, joined, None, train=True, rngs=rngs)
+        return (out ** 2).sum()
+
+    g0 = jax.grad(lloss)(p, m0)
+    g1 = jax.grad(lloss)(p, m1)
+    for (k, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                              jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4,
+            err_msg="lstm-root " + jax.tree_util.keystr(k))
+
     # HONet over hyperedges with the same layout
     hedges = jnp.asarray(rng.integers(0, 150, size=(3, 8)).astype(np.int32))
     hj = make_keys_hjoin(NW2, NS2)(spgk.nodes, spgk.khi, spgk.klo,
