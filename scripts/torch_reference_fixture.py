@@ -7,7 +7,8 @@ LinkPropDataset + seed discipline as cli/main.py), identical SpG samples
 (subg_matrix with the same seed), exported to the reference's scipy-CSR
 + encoding-table layout (spg.to_scipy). Training then runs the
 reference's exact semantics: scipy masked-add gather, torch Net
-(pe_embedding -> pair-sum -> mean aggregation by indptr -> MergeLayer),
+(pe_embedding -> pair-sum -> mean / gated-attention / LSTM aggregation
+by indptr segments, --aggrs selects, model.py:59-67 -> MergeLayer),
 BCEWithLogitsLoss + Adam, grad-clip placed BEFORE backward exactly as
 the reference has it (train.py:131-133 — a stale-gradient clip; kept
 for semantic fidelity), OGB-strict Hits@K, and the same
@@ -84,14 +85,87 @@ class MergeLayer(torch.nn.Module):
         return self.fc2(h).squeeze(-1)
 
 
-class TorchNet(torch.nn.Module):
-    """model.py:45-104 with mean aggregation: pe_embedding MLP over the
-    [rows, 2, S] encoding pairs, pair-sum, segment-mean by indptr."""
+class AttnAggregation(torch.nn.Module):
+    """PyG-free re-statement of aggr.AttentionalAggregation(
+    gate_nn=MLP([h, 1]), nn=MLP([h, h])) exactly as model.py:59-62
+    builds it (a single-layer PyG MLP is one Linear — norms/acts apply
+    only between layers): scalar gate per element, segment softmax,
+    weighted sum of the value-transformed features."""
 
-    def __init__(self, input_dim: int, hidden_dim: int, dropout: float):
+    def __init__(self, hidden_dim: int):
         super().__init__()
+        self.gate_nn = torch.nn.Linear(hidden_dim, 1)
+        self.value_nn = torch.nn.Linear(hidden_dim, hidden_dim)
+
+    def reset_parameters(self):
+        for lin in (self.gate_nn, self.value_nn):
+            lin.reset_parameters()
+            torch.nn.init.xavier_normal_(lin.weight)
+
+    def forward(self, x, seg, nseg):
+        gate = self.gate_nn(x)                          # [rows, 1]
+        gate = gate - gate.max()                        # global shift
+        e = torch.exp(gate)
+        denom = torch.zeros(nseg, 1, dtype=x.dtype)
+        denom.index_add_(0, seg, e)
+        a = e / denom[seg]
+        val = self.value_nn(x)
+        out = torch.zeros(nseg, x.shape[-1], dtype=x.dtype)
+        out.index_add_(0, seg, a * val)
+        return out
+
+
+class LSTMAggregation(torch.nn.Module):
+    """PyG-free re-statement of aggr.LSTMAggregation (model.py:63-65):
+    torch nn.LSTM over each segment in CSR column (node-id) order,
+    final hidden state as the set embedding.
+
+    Default semantics: final hidden AT THE LAST VALID element
+    (pack_padded_sequence), matching this framework's masked-scan
+    aggregator (models/layers.py). PyG 2.2's actual implementation runs
+    the recurrence over trailing zero-padding and takes the last PADDED
+    timestep (`lstm(x)[0][:, -1]`) — a batch-composition-dependent
+    artifact, since the padding length depends on the longest set in
+    the gathered batch. Set SUREL_LSTM_PAD_QUIRK=1 to reproduce that
+    quirk verbatim for an apples-to-PyG comparison."""
+
+    def __init__(self, hidden_dim: int):
+        super().__init__()
+        self.lstm = torch.nn.LSTM(hidden_dim, hidden_dim,
+                                  batch_first=True)
+        self.pad_quirk = os.environ.get("SUREL_LSTM_PAD_QUIRK") == "1"
+
+    def reset_parameters(self):
+        self.lstm.reset_parameters()
+
+    def forward(self, x, seg, nseg, lengths):
+        parts = torch.split(x, lengths.tolist())
+        padded = torch.nn.utils.rnn.pad_sequence(parts, batch_first=True)
+        if self.pad_quirk:
+            out, _ = self.lstm(padded)
+            return out[:, -1]
+        packed = torch.nn.utils.rnn.pack_padded_sequence(
+            padded, lengths.clamp(min=1), batch_first=True,
+            enforce_sorted=False)
+        _, (h_n, _) = self.lstm(packed)
+        return h_n.squeeze(0)
+
+
+class TorchNet(torch.nn.Module):
+    """model.py:45-104: pe_embedding MLP over the [rows, 2, S] encoding
+    pairs, pair-sum, then mean / gated-attention / LSTM aggregation by
+    indptr segments (aggrs selects, exactly as model.py:59-67)."""
+
+    def __init__(self, input_dim: int, hidden_dim: int, dropout: float,
+                 aggrs: str = "mean"):
+        super().__init__()
+        self.aggrs = aggrs
         self.pe1 = torch.nn.Linear(input_dim, hidden_dim)
         self.pe2 = torch.nn.Linear(hidden_dim, hidden_dim)
+        if aggrs == "attn":
+            self.aggr = AttnAggregation(hidden_dim)
+        elif aggrs == "lstm":
+            self.aggr = LSTMAggregation(hidden_dim)
         self.affinity_score = MergeLayer(2 * hidden_dim, hidden_dim,
                                          dropout)
         self.reset_parameters()
@@ -100,18 +174,26 @@ class TorchNet(torch.nn.Module):
         for lin in (self.pe1, self.pe2):
             lin.reset_parameters()
             torch.nn.init.xavier_normal_(lin.weight)
+        if self.aggrs != "mean":
+            self.aggr.reset_parameters()
         self.affinity_score.reset_parameters()
 
     def forward(self, xz, indptr):
         # xz: [rows, 2, S] float; indptr: [2B+1] long segment boundaries
         x = self.pe2(torch.relu(self.pe1(xz))).sum(dim=-2)  # [rows, H]
         nseg = indptr.numel() - 1
-        seg = torch.repeat_interleave(
-            torch.arange(nseg), indptr[1:] - indptr[:-1])
-        sums = torch.zeros(nseg, x.shape[-1], dtype=x.dtype)
-        sums.index_add_(0, seg, x)
-        cnt = (indptr[1:] - indptr[:-1]).clamp(min=1).unsqueeze(1)
-        agg = (sums / cnt).view(2, -1, x.shape[-1])
+        lengths = indptr[1:] - indptr[:-1]
+        seg = torch.repeat_interleave(torch.arange(nseg), lengths)
+        if self.aggrs == "attn":
+            agg = self.aggr(x, seg, nseg).view(2, -1, x.shape[-1])
+        elif self.aggrs == "lstm":
+            agg = self.aggr(x, seg, nseg, lengths).view(
+                2, -1, x.shape[-1])
+        else:
+            sums = torch.zeros(nseg, x.shape[-1], dtype=x.dtype)
+            sums.index_add_(0, seg, x)
+            cnt = lengths.clamp(min=1).unsqueeze(1)
+            agg = (sums / cnt).view(2, -1, x.shape[-1])
         return self.affinity_score(agg[0], agg[1])
 
 
@@ -189,7 +271,8 @@ def run(cfg: ExperimentConfig) -> ResultLogger:
 
     rlog = ResultLogger(runs=cfg.runs, metric=cfg.metric,
                         early_stop=cfg.early_stop)
-    model = TorchNet(cfg.num_steps, cfg.hidden_channels, cfg.dropout)
+    model = TorchNet(cfg.num_steps, cfg.hidden_channels, cfg.dropout,
+                     aggrs=cfg.aggrs)
 
     for run_i in range(cfg.runs):
         torch.manual_seed(cfg.seed + run_i)

@@ -18,8 +18,8 @@ from surel_plus_tpu.models.layers import MergeLayer, MLP2, masked_mean
 from surel_plus_tpu.ops.join import JoinedBatch
 from surel_plus_tpu.ops.pallas.hidden_sum_kernel import (
     NEG,
-    fused_fits,
-    fused_key_hidden_sum,
+    fused_key_hidden_sum_split,
+    set_sum_splits,
     u_core_rows,
 )
 
@@ -48,22 +48,24 @@ class HONet(nn.Module):
             fuse = jax.default_backend() == "tpu"
         if (fuse and joined.kown is not None
                 and joined.kcross_mask is not None
-                and self.key_layout is not None
-                # four hyperedge groups at large L blow the kernel's
-                # scoped VMEM (measured 18.04 MB at M=200/q=4 on v5e):
-                # fall back to the XLA path when the z planes can't fit
-                and fused_fits(joined.kown.shape[-1],
-                               joined.kcross.shape[-1],
-                               self.hidden_dim, q=4)):
+                and self.key_layout is not None):
             nw, ns = self.key_layout
             w1, b1 = pe.hidden_raw(ns + 1)
             u = u_core_rows(w1, nw, ns)
             u_ext = jnp.concatenate(
                 [u, jnp.full((1, self.hidden_dim), NEG, jnp.float32),
                  b1.astype(jnp.float32)[None]], axis=0)
-            sums = fused_key_hidden_sum(
+            # four hyperedge groups at large L blow the kernel's scoped
+            # VMEM in one pass (measured 18.04 MB at M=200/q=4 on v5e):
+            # slot-range splitting keeps the fused path (VERDICT r3
+            # item 4) instead of falling back to XLA
+            nsplit = set_sum_splits(joined.kown.shape[-1],
+                                    joined.kcross.shape[-1],
+                                    self.hidden_dim, q=4)
+            sums = fused_key_hidden_sum_split(
                 joined.kown, joined.mask, joined.kcross,
                 joined.kcross_mask, u_ext, int(nw).bit_length(),
+                nsplit,
                 root_own=joined.kown_root,
                 root_cross=joined.kcross_root)
             cnt = jnp.maximum(joined.mask.sum(axis=-1), 1)

@@ -156,12 +156,14 @@ class AttentionAggregation(nn.Module):
     def folded_from_keys(self, kown: jax.Array, kcross_al: jax.Array,
                          mask: jax.Array, u_ext: jax.Array, shift: int,
                          w2: jax.Array, c2: jax.Array, *,
-                         root_own=None, root_cross=None) -> jax.Array:
+                         root_own=None, root_cross=None,
+                         chunk=None) -> jax.Array:
         """`folded` with the pooling fused all the way to the packed
         keys (ops/pallas/hidden_sum_kernel.py fused_attn_pool): the
         per-slot hidden rows live only in VMEM. Differentiable: the
         kernel carries a custom VJP (in-kernel softmax backward), so
-        training uses this path un-gated — see models/net.py."""
+        training uses this path un-gated — see models/net.py. chunk:
+        slot-chunked execution for wide shapes (attn_pool_chunk)."""
         from surel_plus_tpu.ops.pallas.hidden_sum_kernel import (
             fused_attn_pool)
 
@@ -174,7 +176,8 @@ class AttentionAggregation(nn.Module):
         gconst = c2 @ pg["kernel"].astype(c2.dtype) + pg["bias"]
         pooled = fused_attn_pool(kown, kcross_al, mask, u_ext, gvec,
                                  gconst, shift, root_own=root_own,
-                                 root_cross=root_cross)   # [Q, B, h]
+                                 root_cross=root_cross,
+                                 chunk=chunk)             # [Q, B, h]
         x_agg = pooled @ w2f + c2
         return self.value_nn(x_agg)
 

@@ -31,8 +31,9 @@ from surel_plus_tpu.models.layers import (
 from surel_plus_tpu.ops.join import JoinedBatch
 from surel_plus_tpu.ops.pallas.hidden_sum_kernel import (
     NEG,
-    fused_fits,
-    fused_key_hidden_sum,
+    attn_pool_chunk,
+    fused_key_hidden_sum_split,
+    set_sum_splits,
     u_core_rows,
 )
 
@@ -101,12 +102,7 @@ class Net(nn.Module):
             fuse = jax.default_backend() == "tpu"
         if (fuse and self.aggrs == "mean" and joined.kown is not None
                 and joined.kcross_mask is not None
-                and self.key_layout is not None
-                # huge-L configs can blow the kernel's scoped VMEM:
-                # fall back to the XLA path when the z planes can't fit
-                and fused_fits(joined.kown.shape[-1],
-                               joined.kcross.shape[-1],
-                               self.hidden_dim)):
+                and self.key_layout is not None):
             # Fused path: one Pallas pass per batch computes
             #   sum_l mask[l] * (relu(f(kown[l]) W1 + b1)
             #                  + relu(f(kcross[l]) W1 + b1))
@@ -122,9 +118,16 @@ class Net(nn.Module):
             u_ext = jnp.concatenate(
                 [u, jnp.full((1, self.hidden_dim), NEG, jnp.float32),
                  b1.astype(jnp.float32)[None]], axis=0)
-            sums = fused_key_hidden_sum(
+            # huge-L configs would blow the kernel's scoped VMEM in one
+            # pass; slot-range splitting keeps the fused path (set sums
+            # are order-invariant, parts simply add)
+            nsplit = set_sum_splits(joined.kown.shape[-1],
+                                    joined.kcross.shape[-1],
+                                    self.hidden_dim)
+            sums = fused_key_hidden_sum_split(
                 joined.kown, joined.mask, joined.kcross,
                 joined.kcross_mask, u_ext, int(nw).bit_length(),
+                nsplit,
                 root_own=joined.kown_root,
                 root_cross=joined.kcross_root)
             cnt = jnp.maximum(joined.mask.sum(axis=-1), 1)  # [Q, B]
@@ -160,15 +163,18 @@ class Net(nn.Module):
                 c2 = 2.0 * bias2.astype(jnp.float32)[None]
                 if (joined.kown is not None
                         and joined.kcross_al is not None
-                        and self.key_layout is not None
-                        and fused_fits(joined.kown.shape[-1],
-                                       joined.kcross_al.shape[-1],
-                                       self.hidden_dim,
-                                       w_own=3.5, w_cross=3.5)):
+                        and self.key_layout is not None):
                     # one Pallas pass keys -> pooled (custom VJP): the
                     # per-slot hidden rows never reach HBM in either
                     # direction (the hsum computed above goes dead and
-                    # XLA removes its kernel call)
+                    # XLA removes its kernel call). Wide shapes where
+                    # the monolithic working set would blow scoped VMEM
+                    # (ppa's M=200: backward measured 22.51 MB) run the
+                    # slot-chunked kernels instead of falling back to
+                    # XLA — the fused path is always available here.
+                    chunk = attn_pool_chunk(joined.kown.shape[-1],
+                                            joined.kcross_al.shape[-1],
+                                            self.hidden_dim)
                     nw, ns = self.key_layout
                     w1, b1 = pe.hidden_raw(ns + 1)
                     u_ext = jnp.concatenate(
@@ -180,7 +186,8 @@ class Net(nn.Module):
                         joined.kown, joined.kcross_al, joined.mask,
                         u_ext, int(nw).bit_length(), w2, c2,
                         root_own=joined.kown_root,
-                        root_cross=joined.kcross_al_root)
+                        root_cross=joined.kcross_al_root,
+                        chunk=chunk)
                 else:
                     agg = aggr.folded(hsum, joined.mask, w2, c2)
             else:

@@ -379,6 +379,82 @@ def join_gathered_keys(rows_nodes, rows_hi, rows_lo, rows_sizes,
                        kcross_al_root=kcross_al_root)
 
 
+def join_gathered_hkeys(rn, rh, rl, rs, num_walks: int,
+                        num_steps: int) -> JoinedBatch:
+    """Hyperedge keys join over pre-gathered endpoint rows ([3, B, L]
+    each) — the distributed path feeds rows arriving via sharded psum
+    gathers (parallel/dist.py DistributedKeysHTrainStep); single-device
+    callers use make_keys_hjoin below."""
+    from surel_plus_tpu.ops.walk import enc_field_layout
+
+    lead_bit = enc_field_layout(num_walks, num_steps)[2]
+    lo_only = lead_bit < 32
+    lead_hi = lead_bit == 32   # see join_gathered_keys
+    # the four anchor/cross groups (u|w, w|u, v|w, w|v) are two
+    # bidirectional pairs — one fused merge sort each
+    khi_list, klo_list, masks = [], [], []
+    planes, pmasks, proots, ownroots = [], [], [], []
+    for a, b in ((0, 2), (1, 2)):
+        if lo_only or lead_hi:
+            ((ca_l,), (cb_l,), (sca,), sa_mask, (scb,),
+             sb_mask, snode, stag) = _cross_lookup_bidir_multi(
+                rn[a], rn[b], (rl[a],), (rl[b],), want_sorted=True)
+            if lead_hi:
+                rb_a = (rh[a] & 1).astype(jnp.int32)
+                rb_b = (rh[b] & 1).astype(jnp.int32)
+                a_id = jnp.max(jnp.where(rb_a > 0, rn[a], -1), axis=1)
+                b_id = jnp.max(jnp.where(rb_b > 0, rn[b], -1), axis=1)
+                ca_h = ((rn[a] == b_id[:, None])
+                        & (rn[a] != INT32_MAX)).astype(jnp.uint32)
+                cb_h = ((rn[b] == a_id[:, None])
+                        & (rn[b] != INT32_MAX)).astype(jnp.uint32)
+                proots.append((
+                    ((stag == 1) & (snode == b_id[:, None]))
+                    | ((stag == 0) & (snode == a_id[:, None]))
+                ).astype(jnp.int32))
+                ownroots.extend([rb_a, rb_b])
+            else:
+                ca_h = jnp.zeros_like(ca_l)
+                cb_h = jnp.zeros_like(cb_l)
+            planes.append(sca + scb)   # disjoint tag-split positions
+            pmasks.append((sa_mask, sb_mask))
+        else:
+            ca_h, ca_l, cb_h, cb_l = _cross_lookup_bidir(
+                rn[a], rn[b], rh[a], rl[a], rh[b], rl[b])
+        khi_list.append(jnp.stack([rh[a], ca_h], axis=-1))
+        klo_list.append(jnp.stack([rl[a], ca_l], axis=-1))
+        masks.append(rn[a] != INT32_MAX)
+        khi_list.append(jnp.stack([rh[b], cb_h], axis=-1))
+        klo_list.append(jnp.stack([rl[b], cb_l], axis=-1))
+        masks.append(rn[b] != INT32_MAX)
+    feats = unpack_key_features(jnp.stack(khi_list),
+                                jnp.stack(klo_list),
+                                num_walks, num_steps)
+    sizes_out = jnp.stack([rs[0], rs[2], rs[1], rs[2]])
+    kown = kcross = kcross_mask = None
+    kown_root = kcross_root = None
+    if lo_only or lead_hi:
+        # fused-kernel planes: ONE [B, 4L] cross plane (the two
+        # merges' planes side by side) selected per group by masks
+        # that cover only the group's merge half (models/honet.py)
+        kown = jnp.stack([rl[0], rl[2], rl[1], rl[2]])
+        kcross = jnp.concatenate(planes, axis=1)
+        z = jnp.zeros_like(pmasks[0][0])
+        kcross_mask = jnp.stack([
+            jnp.concatenate([pmasks[0][0], z], axis=1),
+            jnp.concatenate([pmasks[0][1], z], axis=1),
+            jnp.concatenate([z, pmasks[1][0]], axis=1),
+            jnp.concatenate([z, pmasks[1][1]], axis=1),
+        ])
+        if lead_hi:
+            kown_root = jnp.stack(ownroots)
+            kcross_root = jnp.concatenate(proots, axis=1)
+    return JoinedBatch(eidx=feats, mask=jnp.stack(masks),
+                       sizes=sizes_out, kown=kown, kcross=kcross,
+                       kcross_mask=kcross_mask, kown_root=kown_root,
+                       kcross_root=kcross_root)
+
+
 def make_keys_hjoin(num_walks: int, num_steps: int):
     """Packed-key variant of hgather_join (train.py:48-72's four segment
     groups u|w, w|u, v|w, w|v) producing unpacked float feature pairs."""
@@ -386,78 +462,9 @@ def make_keys_hjoin(num_walks: int, num_steps: int):
     def join(nodes, khi, klo, sizes, hedges):
         if hedges.shape[0] != 3:
             raise ValueError("expects [3, B] hyperedges")
-        from surel_plus_tpu.ops.walk import enc_field_layout
-
-        rn = nodes[hedges]       # [3, B, L]
-        rh = khi[hedges]
-        rl = klo[hedges]
-        rs = sizes[hedges]
-        lead_bit = enc_field_layout(num_walks, num_steps)[2]
-        lo_only = lead_bit < 32
-        lead_hi = lead_bit == 32   # see join_gathered_keys
-        # the four anchor/cross groups (u|w, w|u, v|w, w|v) are two
-        # bidirectional pairs — one fused merge sort each
-        khi_list, klo_list, masks = [], [], []
-        planes, pmasks, proots, ownroots = [], [], [], []
-        for a, b in ((0, 2), (1, 2)):
-            if lo_only or lead_hi:
-                ((ca_l,), (cb_l,), (sca,), sa_mask, (scb,),
-                 sb_mask, snode, stag) = _cross_lookup_bidir_multi(
-                    rn[a], rn[b], (rl[a],), (rl[b],), want_sorted=True)
-                if lead_hi:
-                    rb_a = (rh[a] & 1).astype(jnp.int32)
-                    rb_b = (rh[b] & 1).astype(jnp.int32)
-                    a_id = jnp.max(jnp.where(rb_a > 0, rn[a], -1), axis=1)
-                    b_id = jnp.max(jnp.where(rb_b > 0, rn[b], -1), axis=1)
-                    ca_h = ((rn[a] == b_id[:, None])
-                            & (rn[a] != INT32_MAX)).astype(jnp.uint32)
-                    cb_h = ((rn[b] == a_id[:, None])
-                            & (rn[b] != INT32_MAX)).astype(jnp.uint32)
-                    proots.append((
-                        ((stag == 1) & (snode == b_id[:, None]))
-                        | ((stag == 0) & (snode == a_id[:, None]))
-                    ).astype(jnp.int32))
-                    ownroots.extend([rb_a, rb_b])
-                else:
-                    ca_h = jnp.zeros_like(ca_l)
-                    cb_h = jnp.zeros_like(cb_l)
-                planes.append(sca + scb)   # disjoint tag-split positions
-                pmasks.append((sa_mask, sb_mask))
-            else:
-                ca_h, ca_l, cb_h, cb_l = _cross_lookup_bidir(
-                    rn[a], rn[b], rh[a], rl[a], rh[b], rl[b])
-            khi_list.append(jnp.stack([rh[a], ca_h], axis=-1))
-            klo_list.append(jnp.stack([rl[a], ca_l], axis=-1))
-            masks.append(rn[a] != INT32_MAX)
-            khi_list.append(jnp.stack([rh[b], cb_h], axis=-1))
-            klo_list.append(jnp.stack([rl[b], cb_l], axis=-1))
-            masks.append(rn[b] != INT32_MAX)
-        feats = unpack_key_features(jnp.stack(khi_list),
-                                    jnp.stack(klo_list),
-                                    num_walks, num_steps)
-        sizes_out = jnp.stack([rs[0], rs[2], rs[1], rs[2]])
-        kown = kcross = kcross_mask = None
-        kown_root = kcross_root = None
-        if lo_only or lead_hi:
-            # fused-kernel planes: ONE [B, 4L] cross plane (the two
-            # merges' planes side by side) selected per group by masks
-            # that cover only the group's merge half (models/honet.py)
-            kown = jnp.stack([rl[0], rl[2], rl[1], rl[2]])
-            kcross = jnp.concatenate(planes, axis=1)
-            z = jnp.zeros_like(pmasks[0][0])
-            kcross_mask = jnp.stack([
-                jnp.concatenate([pmasks[0][0], z], axis=1),
-                jnp.concatenate([pmasks[0][1], z], axis=1),
-                jnp.concatenate([z, pmasks[1][0]], axis=1),
-                jnp.concatenate([z, pmasks[1][1]], axis=1),
-            ])
-            if lead_hi:
-                kown_root = jnp.stack(ownroots)
-                kcross_root = jnp.concatenate(proots, axis=1)
-        return JoinedBatch(eidx=feats, mask=jnp.stack(masks),
-                           sizes=sizes_out, kown=kown, kcross=kcross,
-                           kcross_mask=kcross_mask, kown_root=kown_root,
-                           kcross_root=kcross_root)
+        return join_gathered_hkeys(nodes[hedges], khi[hedges],
+                                   klo[hedges], sizes[hedges],
+                                   num_walks, num_steps)
 
     return join
 

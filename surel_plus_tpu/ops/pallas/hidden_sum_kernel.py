@@ -539,9 +539,11 @@ def fused_key_hidden_slots(kown: jax.Array, kcross_al: jax.Array,
 # rows from the keys and runs the softmax VJP in-kernel, contracting
 # dU/dgate-vector on the MXU.
 
-def _attn_state(pi, shift, tb, ell, h, nbx, u, gv, ko_ref, kc_ref,
+def _attn_gates(pi, shift, tb, ell, h, nbx, u, gv, ko_ref, kc_ref,
                 mo_ref, ro_ref, rc_ref):
-    """Recompute (be_own, be_cross, zo, zc, hs, a) for endpoint pi."""
+    """Recompute (be_own, be_cross, zo, zc, hs, gate) for endpoint pi —
+    gate is the raw (pre-softmax) [tb, ell, 1] logit with masked slots
+    offset by NEG."""
     zeros = jnp.zeros((tb * ell,), jnp.float32)
     inv = 1.0 - mo_ref[pi].astype(jnp.float32)
     beo, zo = _z_of(ko_ref[pi], inv, u, nbx, shift,
@@ -559,7 +561,15 @@ def _attn_state(pi, shift, tb, ell, h, nbx, u, gv, ko_ref, kc_ref,
                 beo[nbx - 2:], gtail,
                 dimension_numbers=_CONTRACT_BITS,
                 preferred_element_type=jnp.float32))       # [R, 1]
-    gate = gate.reshape(tb, ell, 1)
+    return beo, bec, zo, zc, hs, gate.reshape(tb, ell, 1)
+
+
+def _attn_state(pi, shift, tb, ell, h, nbx, u, gv, ko_ref, kc_ref,
+                mo_ref, ro_ref, rc_ref):
+    """Recompute (be_own, be_cross, zo, zc, hs, a) for endpoint pi."""
+    beo, bec, zo, zc, hs, gate = _attn_gates(
+        pi, shift, tb, ell, h, nbx, u, gv, ko_ref, kc_ref, mo_ref,
+        ro_ref, rc_ref)
     gate = gate - gate.max(axis=1, keepdims=True)
     e = jnp.exp(gate)
     a = e / e.sum(axis=1, keepdims=True)                   # [tb, ell, 1]
@@ -715,6 +725,7 @@ def fused_attn_pool(kown: jax.Array, kcross_al: jax.Array,
                     gconst: jax.Array, shift: int, tb: int = 8,
                     root_own: jax.Array | None = None,
                     root_cross: jax.Array | None = None,
+                    chunk: int | None = None,
                     interpret: bool | None = None) -> jax.Array:
     """Masked attention pool over per-slot hidden rows -> [Q, B, H] f32.
 
@@ -727,18 +738,32 @@ def fused_attn_pool(kown: jax.Array, kcross_al: jax.Array,
 
     Masked slots' gates get +NEG (their softmax weight underflows to 0),
     and sets are never empty, so the weights sum to 1 over valid slots —
-    matching AttentionAggregation exactly."""
+    matching AttentionAggregation exactly.
+
+    chunk: slot-chunked execution for shapes whose monolithic working
+    set exceeds scoped VMEM (the M=200 attn backward measured 22.51 MB
+    on v5e) — see the chunked section below. None = monolithic;
+    `attn_pool_chunk` picks a value automatically."""
     if interpret is None:
         interpret = _default_interpret()
-    q, b, _ = kown.shape
+    q, b, ell = kown.shape
     h = gvec.shape[0]
     bp = -(-b // tb) * tb
-    ko, ellp = _pad_flatten(kown, tb, bp)
-    kc, _ = _pad_flatten(kcross_al, tb, bp)
-    mo, _ = _pad_flatten(mask.astype(jnp.int32), tb, bp)
     gv = jnp.concatenate([gvec.astype(jnp.float32),
                           gconst.reshape(1, 1).astype(jnp.float32)],
                          axis=0)
+    if chunk is not None and chunk < ell:
+        mo3 = mask.astype(jnp.int32)
+        roots3 = None
+        if root_own is not None:
+            roots3 = (root_own.astype(jnp.int32),
+                      root_cross.astype(jnp.int32))
+        out = _fused_attn_ck(kown, kcross_al, mo3, roots3, u_ext, gv,
+                             tb, chunk, shift, interpret)
+        return out[:, :b]
+    ko, ellp = _pad_flatten(kown, tb, bp)
+    kc, _ = _pad_flatten(kcross_al, tb, bp)
+    mo, _ = _pad_flatten(mask.astype(jnp.int32), tb, bp)
     roots = None
     if root_own is not None:
         ro, _ = _pad_flatten(root_own.astype(jnp.int32), tb, bp)
@@ -747,3 +772,305 @@ def fused_attn_pool(kown: jax.Array, kcross_al: jax.Array,
     out = _fused_attn(ko, kc, mo, roots, u_ext, gv, tb, ellp, shift,
                       interpret)
     return out[:, :b]
+
+
+# ---------------------------------------------------------------------------
+# Chunked attention pool — lifts the VMEM gate at wide shapes (VERDICT
+# r3 item 3: ppa's M=200/S=4 layout, L=801, where the monolithic
+# backward's ~7 slot-aligned planes measure 22.51 MB > 16 MB scoped).
+#
+# Design: flash-attention-style partial softmax over L-SLICES of the
+# key planes, sliced OUTSIDE the kernel (XLA slices of [Q, B, L] are
+# cheap and sidestep Mosaic's in-kernel chunk-slice limitation — the
+# "offset mismatch on non-concat dimension" note above applies to
+# slices of one operand inside a kernel, not to separate pallas_calls
+# over pre-sliced operands). Three kernels, each holding only
+# chunk-sized planes:
+#   * stats (forward): per slice j emit m_j = max gate, s_j = sum
+#     exp(gate - m_j), p_j = sum exp(gate - m_j) * hs. XLA combine:
+#     m = max_j m_j; sc_j = exp(m_j - m); out = sum(p_j sc_j) /
+#     sum(s_j sc_j). One z-pass; (m, s) saved as residuals.
+#   * t-pass (backward 1): with the forward's exact (m, s), the true
+#     softmax weight a = exp(gate - m)/s is slice-local; emit
+#     t_j = sum_l a*da (da = hs·g) and combine t = sum_j t_j — the
+#     softmax-VJP coupling term needs full-L t before any dgate.
+#   * grad-pass (backward 2): dgate = a*(da - t); accumulate dU/dgv
+#     exactly like the monolithic backward, summed across slices.
+# Masked / padded slots carry gate+NEG, so exp underflows to 0 exactly
+# and fully-masked slices are killed by sc_j = exp(NEG-ish) = 0 — the
+# combine is exact, not approximate. Total z recomputation is 3 passes
+# (vs 2 monolithic); each slice's working set is ~7 planes of `chunk`
+# slots instead of L.
+
+
+def _attn_cstats_kernel(shift, has_root, *refs):
+    if has_root:
+        (ko_ref, kc_ref, mo_ref, ro_ref, rc_ref, u_ref, gv_ref, m_ref,
+         s_ref, p_ref) = refs
+    else:
+        ko_ref, kc_ref, mo_ref, u_ref, gv_ref, m_ref, s_ref, p_ref = refs
+        ro_ref = rc_ref = None
+    p, tb, h = p_ref.shape
+    nbx = u_ref.shape[0]
+    ell = ko_ref.shape[1] // tb
+    u = u_ref[:]
+    gv = gv_ref[:]
+    for pi in range(p):
+        _, _, _, _, hs, gate = _attn_gates(
+            pi, shift, tb, ell, h, nbx, u, gv, ko_ref, kc_ref, mo_ref,
+            ro_ref, rc_ref)
+        m = gate.max(axis=1)                               # [tb, 1]
+        e = jnp.exp(gate - m[:, None])                     # [tb, ell, 1]
+        m_ref[pi] = m
+        s_ref[pi] = e.sum(axis=1)
+        p_ref[pi] = (e * hs.reshape(tb, ell, h)).sum(axis=1)
+
+
+def _attn_ct_kernel(shift, has_root, *refs):
+    if has_root:
+        (ko_ref, kc_ref, mo_ref, ro_ref, rc_ref, u_ref, gv_ref, m_ref,
+         s_ref, g_ref, t_ref) = refs
+    else:
+        (ko_ref, kc_ref, mo_ref, u_ref, gv_ref, m_ref, s_ref, g_ref,
+         t_ref) = refs
+        ro_ref = rc_ref = None
+    p, tb, h = g_ref.shape
+    nbx = u_ref.shape[0]
+    ell = ko_ref.shape[1] // tb
+    u = u_ref[:]
+    gv = gv_ref[:]
+    for pi in range(p):
+        _, _, _, _, hs, gate = _attn_gates(
+            pi, shift, tb, ell, h, nbx, u, gv, ko_ref, kc_ref, mo_ref,
+            ro_ref, rc_ref)
+        a = (jnp.exp(gate - m_ref[pi][:, None])
+             / s_ref[pi][:, None])                         # [tb, ell, 1]
+        gb = jnp.broadcast_to(g_ref[pi][:, None, :], (tb, ell, h))
+        da = (hs.reshape(tb, ell, h) * gb).sum(axis=2, keepdims=True)
+        t_ref[pi] = (a * da).sum(axis=1)                   # [tb, 1]
+
+
+def _attn_cbwd_kernel(shift, has_root, *refs):
+    if has_root:
+        (ko_ref, kc_ref, mo_ref, ro_ref, rc_ref, u_ref, gv_ref, m_ref,
+         s_ref, t_ref, g_ref, du_ref, dgv_ref) = refs
+    else:
+        (ko_ref, kc_ref, mo_ref, u_ref, gv_ref, m_ref, s_ref, t_ref,
+         g_ref, du_ref, dgv_ref) = refs
+        ro_ref = rc_ref = None
+    i = pl.program_id(0)
+    p, tb, h = g_ref.shape
+    nbx = u_ref.shape[0]
+    ell = ko_ref.shape[1] // tb
+    u = u_ref[:]
+    gv = gv_ref[:]
+    du_a = jnp.zeros((nbx, h), jnp.float32)
+    dgv_a = jnp.zeros((h + 1, 1), jnp.float32)
+    for pi in range(p):
+        beo, bec, zo, zc, hs, gate = _attn_gates(
+            pi, shift, tb, ell, h, nbx, u, gv, ko_ref, kc_ref, mo_ref,
+            ro_ref, rc_ref)
+        a = (jnp.exp(gate - m_ref[pi][:, None])
+             / s_ref[pi][:, None])
+        hs3 = hs.reshape(tb, ell, h)
+        gb = jnp.broadcast_to(g_ref[pi][:, None, :], (tb, ell, h))
+        da = (hs3 * gb).sum(axis=2, keepdims=True)
+        dgate = a * (da - t_ref[pi][:, None])
+        dhs = (a * gb + dgate * gv[:h].reshape(1, 1, h)
+               ).reshape(tb * ell, h)
+        dgv_a += jnp.concatenate([
+            jax.lax.dot_general(hs, dgate.reshape(tb * ell, 1),
+                                dimension_numbers=_CONTRACT_BITS,
+                                preferred_element_type=jnp.float32),
+            dgate.sum(axis=(0, 1))[None],
+        ], axis=0)
+        dzo = jnp.where(zo > 0, dhs, 0.0)
+        dzc = jnp.where(zc > 0, dhs, 0.0)
+        du_a += jnp.dot(beo, dzo, preferred_element_type=jnp.float32)
+        du_a += jnp.dot(bec, dzc, preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        du_ref[:] = jnp.zeros_like(du_ref)
+        dgv_ref[:] = jnp.zeros_like(dgv_ref)
+
+    du_ref[:] += du_a
+    dgv_ref[:] += dgv_a
+
+
+def _attn_cspecs(q, tb, ellp, nbx, h, has_root):
+    blk = lambda shape, imap: pl.BlockSpec(shape, imap,
+                                           memory_space=pltpu.VMEM)
+    nkeys = 5 if has_root else 3
+    keys = [blk((q, tb * ellp), lambda i: (0, i)) for _ in range(nkeys)]
+    uv = [blk((nbx, h), lambda i: (0, 0)),
+          blk((h + 1, 1), lambda i: (0, 0))]
+    col = blk((q, tb, 1), lambda i: (0, i, 0))
+    mat = blk((q, tb, h), lambda i: (0, i, 0))
+    return keys, uv, col, mat, blk
+
+
+def _attn_chunk_slices(kown, kc_al, mo3, roots3, tb, chunk):
+    """L-slices of the [Q, B, L] operands, each pad-flattened to its own
+    lane-dense (q, bp*chunkp) layout. Padded slots are masked (fill 0),
+    so they behave exactly like masked slots."""
+    q, b, ell = kown.shape
+    bp = -(-b // tb) * tb
+    out = []
+    for lo in range(0, ell, chunk):
+        sl = slice(lo, min(lo + chunk, ell))
+        ko, ellp = _pad_flatten(kown[:, :, sl], tb, bp)
+        kc, _ = _pad_flatten(kc_al[:, :, sl], tb, bp)
+        mk, _ = _pad_flatten(mo3[:, :, sl], tb, bp)
+        rr = None
+        if roots3 is not None:
+            ro, _ = _pad_flatten(roots3[0][:, :, sl], tb, bp)
+            rc, _ = _pad_flatten(roots3[1][:, :, sl], tb, bp)
+            rr = (ro, rc)
+        out.append((ko, kc, mk, rr, ellp))
+    return out, bp
+
+
+def _attn_ck_stats(kown, kc_al, mo3, roots3, u, gv, tb, chunk, shift,
+                   interpret):
+    q = kown.shape[0]
+    nbx, h = u.shape
+    slices, bp = _attn_chunk_slices(kown, kc_al, mo3, roots3, tb, chunk)
+    parts = []
+    for ko, kc, mk, rr, ellp in slices:
+        keys, uv, col, mat, _ = _attn_cspecs(q, tb, ellp, nbx, h,
+                                             rr is not None)
+        args = (ko, kc, mk) + (rr or ()) + (u, gv)
+        parts.append(pl.pallas_call(
+            functools.partial(_attn_cstats_kernel, shift, rr is not None),
+            grid=(bp // tb,),
+            in_specs=keys + uv,
+            out_specs=(col, col, mat),
+            out_shape=(jax.ShapeDtypeStruct((q, bp, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((q, bp, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((q, bp, h), jnp.float32)),
+            interpret=interpret,
+        )(*args))
+    m = functools.reduce(jnp.maximum, [mj for mj, _, _ in parts])
+    scs = [jnp.exp(mj - m) for mj, _, _ in parts]
+    s = sum(sj * sc for (_, sj, _), sc in zip(parts, scs))
+    pool = sum(pj * sc for (_, _, pj), sc in zip(parts, scs))
+    return pool / s, m, s
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _fused_attn_ck(kown, kc_al, mo3, roots3, u, gv, tb, chunk, shift,
+                   interpret):
+    return _attn_ck_stats(kown, kc_al, mo3, roots3, u, gv, tb, chunk,
+                          shift, interpret)[0]
+
+
+def _fused_attn_ck_fwd(kown, kc_al, mo3, roots3, u, gv, tb, chunk,
+                       shift, interpret):
+    out, m, s = _attn_ck_stats(kown, kc_al, mo3, roots3, u, gv, tb,
+                               chunk, shift, interpret)
+    return out, (kown, kc_al, mo3, roots3, u, gv, m, s)
+
+
+def _fused_attn_ck_bwd(tb, chunk, shift, interpret, res, g):
+    kown, kc_al, mo3, roots3, u, gv, m, s = res
+    g = g.astype(jnp.float32)                              # [q, bp, h]
+    q = kown.shape[0]
+    nbx, h = u.shape
+    slices, bp = _attn_chunk_slices(kown, kc_al, mo3, roots3, tb, chunk)
+    t = None
+    for ko, kc, mk, rr, ellp in slices:
+        keys, uv, col, mat, _ = _attn_cspecs(q, tb, ellp, nbx, h,
+                                             rr is not None)
+        args = (ko, kc, mk) + (rr or ()) + (u, gv, m, s, g)
+        tj = pl.pallas_call(
+            functools.partial(_attn_ct_kernel, shift, rr is not None),
+            grid=(bp // tb,),
+            in_specs=keys + uv + [col, col, mat],
+            out_specs=col,
+            out_shape=jax.ShapeDtypeStruct((q, bp, 1), jnp.float32),
+            interpret=interpret,
+        )(*args)
+        t = tj if t is None else t + tj
+    du = jnp.zeros((nbx, h), jnp.float32)
+    dgv = jnp.zeros((h + 1, 1), jnp.float32)
+    for ko, kc, mk, rr, ellp in slices:
+        keys, uv, col, mat, blk = _attn_cspecs(q, tb, ellp, nbx, h,
+                                               rr is not None)
+        args = (ko, kc, mk) + (rr or ()) + (u, gv, m, s, t, g)
+        du_j, dgv_j = pl.pallas_call(
+            functools.partial(_attn_cbwd_kernel, shift, rr is not None),
+            grid=(bp // tb,),
+            in_specs=keys + uv + [col, col, col, mat],
+            out_specs=(blk((nbx, h), lambda i: (0, 0)),
+                       blk((h + 1, 1), lambda i: (0, 0))),
+            out_shape=(jax.ShapeDtypeStruct((nbx, h), jnp.float32),
+                       jax.ShapeDtypeStruct((h + 1, 1), jnp.float32)),
+            interpret=interpret,
+        )(*args)
+        du = du + du_j
+        dgv = dgv + dgv_j
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    rz = None if roots3 is None else tuple(f0(r) for r in roots3)
+    return f0(kown), f0(kc_al), f0(mo3), rz, du, dgv
+
+
+_fused_attn_ck.defvjp(_fused_attn_ck_fwd, _fused_attn_ck_bwd)
+
+
+def attn_pool_chunk(ell: int, lc: int, h: int, q: int = 2,
+                    tb: int = 8) -> int | None:
+    """Slot-chunk size for fused_attn_pool at this shape, or None when
+    the monolithic kernels fit (w=3.5 calibration — see fused_fits).
+    A non-None result means the fused path is ALWAYS available: the
+    chunked kernels hold the same plane set over `chunk` slots, so the
+    same calibrated estimate gates each slice."""
+    if fused_fits(ell, lc, h, q, tb, w_own=3.5, w_cross=3.5):
+        return None
+    for chunk in (512, 384, 256, 192, 128, 96, 64, 32, 16):
+        if chunk < ell and fused_fits(chunk, chunk, h, q, tb,
+                                      w_own=3.5, w_cross=3.5):
+            return chunk
+    return 8
+
+
+def fused_key_hidden_sum_split(kown, mask_own, kcross, mask_cross,
+                               u_ext, shift, nsplit: int, tb: int = 8,
+                               root_own=None, root_cross=None,
+                               interpret=None):
+    """fused_key_hidden_sum over `nsplit` slot-range parts, summed —
+    set sums are order-invariant and each slot lands in exactly one
+    part, so the parts' custom VJPs compose under plain addition. This
+    lifts the q=4 hyperedge VMEM gate at M=200 (measured 18.04 MB
+    monolithic; VERDICT r3 item 4): own [Q, B, L] and the shared cross
+    plane [B, Lc] are split independently along their slot axes."""
+    lo_all = kown.shape[-1]
+    lc_all = kcross.shape[-1]
+    # every part needs >= 1 slot on BOTH sides (the kernel has no
+    # zero-width blocks); the cap only binds at toy widths / test-forced
+    # tiny budgets
+    nsplit = max(1, min(nsplit, lo_all, lc_all))
+    out = None
+    for i in range(nsplit):
+        o0, o1 = (lo_all * i) // nsplit, (lo_all * (i + 1)) // nsplit
+        c0, c1 = (lc_all * i) // nsplit, (lc_all * (i + 1)) // nsplit
+        part = fused_key_hidden_sum(
+            kown[..., o0:o1], mask_own[..., o0:o1],
+            kcross[..., c0:c1], mask_cross[..., c0:c1], u_ext, shift,
+            tb=tb,
+            root_own=None if root_own is None else root_own[..., o0:o1],
+            root_cross=(None if root_cross is None
+                        else root_cross[..., c0:c1]),
+            interpret=interpret)
+        out = part if out is None else out + part
+    return out
+
+
+def set_sum_splits(ell: int, lc: int, h: int, q: int = 2,
+                   tb: int = 8) -> int:
+    """Minimal part count for fused_key_hidden_sum_split at this shape
+    (1 = monolithic fits)."""
+    for nsplit in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32):
+        if fused_fits(-(-ell // nsplit), -(-lc // nsplit), h, q, tb):
+            return nsplit
+    return 64

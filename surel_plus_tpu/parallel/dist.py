@@ -312,6 +312,73 @@ class DistributedKeysTrainStep:
                           edges, labels, weights, rng)
 
 
+class DistributedKeysHTrainStep:
+    """Hyperedge (3-endpoint) variant of DistributedKeysTrainStep: the
+    same owner-masked psum row gathers feed join_gathered_hkeys (the
+    four u|w, w|u, v|w, w|v groups of train.py:48-72) and an HONet —
+    multi-chip training for the higher-order CLI's model family."""
+
+    def __init__(self, model, optimizer, mesh: Mesh,
+                 sspg: ShardedSpGKeys):
+        self.model = model
+        self.optimizer = optimizer
+        self.mesh = mesh
+        self.sspg = sspg
+        self._step = self._build()
+
+    def _build(self):
+        from surel_plus_tpu.ops.join import join_gathered_hkeys
+        from surel_plus_tpu.ops.walk import INT32_MAX
+
+        mesh, sspg = self.mesh, self.sspg
+        rps = sspg.rows_per_shard
+        M, S = sspg.num_walks, sspg.num_steps
+
+        def step_local(params, opt_state, nodes, khi, klo, sizes,
+                       hedges, labels, weights, rng):
+            rows_nodes = dist_gather_rows(nodes, hedges, rps)
+            rows_hi = dist_gather_rows(khi, hedges, rps)
+            rows_lo = dist_gather_rows(klo, hedges, rps)
+            rows_sizes = dist_gather_rows(sizes, hedges, rps)
+            L = rows_nodes.shape[-1]
+            slot = jnp.arange(L, dtype=jnp.int32)
+            valid = slot[None, None, :] < rows_sizes[:, :, None]
+            rows_nodes = jnp.where(valid, rows_nodes, INT32_MAX)
+            joined = join_gathered_hkeys(rows_nodes, rows_hi, rows_lo,
+                                         rows_sizes, M, S)
+
+            def loss_fn(p):
+                logits = self.model.apply(
+                    p, jnp.zeros((1, 1), jnp.float32), joined, None,
+                    train=True, rngs={"dropout": rng})
+                per = optax.sigmoid_binary_cross_entropy(logits, labels)
+                return ((per * weights).sum()
+                        / jnp.maximum(weights.sum(), 1.0))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            grads = jax.lax.pmean(grads, "data")
+            loss = jax.lax.pmean(loss, "data")
+            updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                       params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        sharded = jax.shard_map(
+            step_local, mesh=mesh,
+            in_specs=(P(), P(), P("graph", None), P("graph", None),
+                      P("graph", None), P("graph"), P(None, "data"),
+                      P("data"), P("data"), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    def __call__(self, params, opt_state, hedges, labels, weights, rng):
+        return self._step(params, opt_state, self.sspg.nodes,
+                          self.sspg.khi, self.sspg.klo, self.sspg.sizes,
+                          hedges, labels, weights, rng)
+
+
 class DistributedKeysScorer:
     """(data x graph)-sharded inference over a row-sharded packed-key SpG
     — the eval mirror of DistributedKeysTrainStep (the reference's

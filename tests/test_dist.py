@@ -306,3 +306,50 @@ def test_distributed_keys_step_fused_aggregators(setup, aggrs):
                       jnp.asarray(labels), jnp.ones((B,), jnp.float32),
                       jax.random.PRNGKey(9))
     assert np.isclose(float(loss), want, rtol=1e-4), (float(loss), want)
+
+
+def test_distributed_hyperedge_step_matches_single(setup):
+    """DistributedKeysHTrainStep (3-endpoint psum gathers ->
+    join_gathered_hkeys -> HONet) reproduces the single-device
+    hyperedge loss exactly on the virtual mesh."""
+    from surel_plus_tpu.models import HONet
+    from surel_plus_tpu.ops.join import make_keys_hjoin
+    from surel_plus_tpu.ops.sampler import sample_gsets_device_keys
+    from surel_plus_tpu.parallel.dist import (
+        DistributedKeysHTrainStep, shard_spg_keys)
+
+    g, _, _ = setup
+    spgk = sample_gsets_device_keys(g, np.arange(200, dtype=np.int32),
+                                    num_walks=8, num_steps=2, seed=1,
+                                    block_size=200)
+    mesh = make_mesh(8)
+    sspg = shard_spg_keys(spgk, mesh)
+    honet = HONet(input_dim=3, hidden_dim=16, dropout=0.0,
+                  key_layout=(8, 2))
+
+    B = 32
+    rng = np.random.default_rng(0)
+    hedges = rng.integers(0, 200, size=(3, B)).astype(np.int32)
+    labels = (np.arange(B) % 2).astype(np.float32)
+
+    hjoin = make_keys_hjoin(8, 2)
+    joined = hjoin(spgk.nodes, spgk.khi, spgk.klo, spgk.sizes,
+                   jnp.asarray(hedges))
+    params = honet.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 1), jnp.float32), joined)
+    logits = honet.apply(params, jnp.zeros((1, 1), jnp.float32), joined)
+    want = float(optax.sigmoid_binary_cross_entropy(
+        logits, jnp.asarray(labels)).mean())
+
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0),
+                            optax.adam(1e-2))
+    step = DistributedKeysHTrainStep(honet, optimizer, mesh, sspg)
+    p2, _, loss = step(params, optimizer.init(params),
+                       jnp.asarray(hedges), jnp.asarray(labels),
+                       jnp.ones((B,), jnp.float32), jax.random.PRNGKey(9))
+    assert np.isclose(float(loss), want, rtol=1e-5), (float(loss), want)
+    # params actually moved
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)))
+    assert moved

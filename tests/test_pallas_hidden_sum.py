@@ -560,3 +560,182 @@ def test_fused_fits_vmem_gate():
     # link shapes fused, M=200 gates off (measured 22.51 MB OOM)
     assert fused_fits(301, 301, 96, w_own=3.5, w_cross=3.5)
     assert not fused_fits(801, 801, 96, w_own=3.5, w_cross=3.5)
+
+
+def test_chunked_and_split_gates_at_wide_shapes():
+    """The r4 wide-shape routes: at ppa's M=200 layout the attn pool
+    picks a slot chunk and the q=4 hyperedge set-sum picks a split
+    count — the fused path no longer gates off anywhere (VERDICT r3
+    items 3+4). Each slice/part must itself pass the calibrated
+    estimate."""
+    from surel_plus_tpu.ops.pallas.hidden_sum_kernel import (
+        attn_pool_chunk, fused_fits, set_sum_splits)
+
+    # link shapes stay monolithic
+    assert attn_pool_chunk(301, 301, 96) is None
+    assert set_sum_splits(301, 602, 96) == 1
+    assert set_sum_splits(301, 602, 96, q=4) == 1
+    # ppa M=200: attn chunks, each slice fits the backward estimate
+    chunk = attn_pool_chunk(801, 801, 96)
+    assert chunk is not None
+    assert fused_fits(chunk, chunk, 96, w_own=3.5, w_cross=3.5)
+    # tags-math M=200 q=4: the set-sum splits, each part fits
+    ns = set_sum_splits(801, 1602, 96, q=4)
+    assert ns > 1
+    assert fused_fits(-(-801 // ns), -(-1602 // ns), 96, q=4)
+
+
+def test_chunked_attn_matches_monolithic_and_unfused(monkeypatch):
+    """Force the chunked attn kernels at a small shape by shrinking the
+    VMEM budget: logits and parameter gradients must match both the
+    monolithic kernel and the unfused XLA path (same join, same
+    params)."""
+    g = rmat_graph(200, 1000, seed=15)
+    spgk = sample_gsets_device_keys(
+        g, np.arange(200, dtype=np.int32), num_walks=NW, num_steps=NS,
+        seed=2, block_size=64)
+    rng = np.random.default_rng(16)
+    edges = jnp.asarray(rng.integers(0, 200, size=(2, 16)).astype(np.int32))
+    joined = make_keys_join(NW, NS)(spgk.nodes, spgk.khi, spgk.klo,
+                                    spgk.sizes, edges)
+
+    kw = dict(input_dim=NS + 1, hidden_dim=16, aggrs="attn",
+              dropout=0.0, dtype="float32", key_layout=(NW, NS))
+    m0 = Net(fused_hidden=False, **kw)
+    m1 = Net(fused_hidden=True, **kw)
+    enc = jnp.zeros((1, 1), jnp.float32)
+    p = m0.init(jax.random.PRNGKey(0), enc, joined)
+    rngs = {"dropout": jax.random.PRNGKey(1)}
+
+    def loss(q, m):
+        out = m.apply(q, enc, joined, None, train=True, rngs=rngs)
+        return (out ** 2).sum()
+
+    l0 = m0.apply(p, enc, joined)
+    g0 = jax.grad(loss)(p, m0)
+    l_mono = m1.apply(p, enc, joined)
+    g_mono = jax.grad(loss)(p, m1)
+
+    from surel_plus_tpu.ops.pallas.hidden_sum_kernel import (
+        attn_pool_chunk)
+    monkeypatch.setenv("SUREL_HSUM_VMEM_BUDGET", str(64 * 1024))
+    assert attn_pool_chunk(joined.kown.shape[-1],
+                           joined.kcross_al.shape[-1], 16) is not None
+    l_ck = m1.apply(p, enc, joined)
+    g_ck = jax.grad(loss)(p, m1)
+
+    np.testing.assert_allclose(np.asarray(l_mono), np.asarray(l0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l_ck), np.asarray(l0),
+                               rtol=1e-5, atol=1e-5)
+    for (k, a), (_, b), (_, c) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g_mono),
+            jax.tree_util.tree_leaves_with_path(g_ck)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
+            err_msg="mono " + jax.tree_util.keystr(k))
+        np.testing.assert_allclose(
+            np.asarray(c), np.asarray(a), rtol=1e-4, atol=1e-5,
+            err_msg="chunked " + jax.tree_util.keystr(k))
+
+
+def test_split_set_sum_matches_monolithic_and_unfused(monkeypatch):
+    """Force slot-range splitting of the mean set-sum (Net) and the
+    q=4 hyperedge set-sum (HONet) via a tiny VMEM budget: logits and
+    gradients must match the unfused XLA path."""
+    from surel_plus_tpu.models import HONet
+    from surel_plus_tpu.ops.join import make_keys_hjoin
+    from surel_plus_tpu.ops.pallas.hidden_sum_kernel import (
+        set_sum_splits)
+
+    g = rmat_graph(150, 700, seed=23)
+    spgk = sample_gsets_device_keys(
+        g, np.arange(150, dtype=np.int32), num_walks=NW, num_steps=NS,
+        seed=2, block_size=64)
+    rng = np.random.default_rng(24)
+    edges = jnp.asarray(rng.integers(0, 150, size=(2, 12)).astype(np.int32))
+    joined = make_keys_join(NW, NS)(spgk.nodes, spgk.khi, spgk.klo,
+                                    spgk.sizes, edges)
+    enc = jnp.zeros((1, 1), jnp.float32)
+
+    kw = dict(input_dim=NS + 1, hidden_dim=16, aggrs="mean",
+              dropout=0.0, dtype="float32", key_layout=(NW, NS))
+    m0 = Net(fused_hidden=False, **kw)
+    m1 = Net(fused_hidden=True, **kw)
+    p = m0.init(jax.random.PRNGKey(0), enc, joined)
+    l0 = m0.apply(p, enc, joined)
+    g0 = jax.grad(lambda q: (m0.apply(q, enc, joined) ** 2).sum())(p)
+
+    monkeypatch.setenv("SUREL_HSUM_VMEM_BUDGET", str(64 * 1024))
+    assert set_sum_splits(joined.kown.shape[-1],
+                          joined.kcross.shape[-1], 16) > 1
+    l1 = m1.apply(p, enc, joined)
+    g1 = jax.grad(lambda q: (m1.apply(q, enc, joined) ** 2).sum())(p)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+    # HONet q=4 under the same forced split
+    hedges = jnp.asarray(rng.integers(0, 150, size=(3, 8)).astype(np.int32))
+    hj = make_keys_hjoin(NW, NS)(spgk.nodes, spgk.khi, spgk.klo,
+                                 spgk.sizes, hedges)
+    h0 = HONet(input_dim=NS + 1, hidden_dim=16, fused_hidden=False,
+               key_layout=(NW, NS))
+    h1 = HONet(input_dim=NS + 1, hidden_dim=16, fused_hidden=True,
+               key_layout=(NW, NS))
+    ph = h0.init(jax.random.PRNGKey(0), enc, hj)
+    hl0 = h0.apply(ph, enc, hj)
+    hg0 = jax.grad(lambda q: (h0.apply(q, enc, hj) ** 2).sum())(ph)
+    hl1 = h1.apply(ph, enc, hj)
+    hg1 = jax.grad(lambda q: (h1.apply(q, enc, hj) ** 2).sum())(ph)
+    np.testing.assert_allclose(np.asarray(hl1), np.asarray(hl0),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(hg0), jax.tree.leaves(hg1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_attn_lead_in_hi_roots(monkeypatch):
+    """Chunked attn with root PLANES (lead-in-hi layout): forward and
+    gradients match the unfused path — the root planes must slice along
+    the slot axis exactly like the key planes."""
+    from surel_plus_tpu.ops.walk import enc_field_layout
+
+    NW2, NS2 = 200, 4
+    assert enc_field_layout(NW2, NS2)[2] == 32
+    g = rmat_graph(150, 700, seed=13)
+    spgk = sample_gsets_device_keys(
+        g, np.arange(150, dtype=np.int32), num_walks=NW2, num_steps=NS2,
+        seed=2, block_size=64)
+    rng = np.random.default_rng(14)
+    edges = jnp.asarray(rng.integers(0, 150, size=(2, 12)).astype(np.int32))
+    joined = make_keys_join(NW2, NS2)(spgk.nodes, spgk.khi, spgk.klo,
+                                      spgk.sizes, edges)
+    assert joined.kown_root is not None
+    enc = jnp.zeros((1, 1), jnp.float32)
+    kw = dict(input_dim=NS2 + 1, hidden_dim=16, aggrs="attn",
+              dropout=0.0, dtype="float32", key_layout=(NW2, NS2))
+    m0 = Net(fused_hidden=False, **kw)
+    m1 = Net(fused_hidden=True, **kw)
+    p = m0.init(jax.random.PRNGKey(0), enc, joined)
+    rngs = {"dropout": jax.random.PRNGKey(1)}
+
+    def loss(q, m):
+        out = m.apply(q, enc, joined, None, train=True, rngs=rngs)
+        return (out ** 2).sum()
+
+    l0 = m0.apply(p, enc, joined)
+    g0 = jax.grad(loss)(p, m0)
+    monkeypatch.setenv("SUREL_HSUM_VMEM_BUDGET", str(64 * 1024))
+    l1 = m1.apply(p, enc, joined)
+    g1 = jax.grad(loss)(p, m1)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                               rtol=1e-5, atol=1e-5)
+    for (k, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                              jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(k))
