@@ -79,6 +79,12 @@ def load_hetero(cfg: ExperimentConfig, rng):
         return synthetic_hetero_data(relation=cfg.relation, seed=cfg.seed,
                                      mask_ratio=cfg.train_ratio, k=cfg.k,
                                      rng=rng)
+    if cfg.dataset.startswith("npz:"):
+        # torch-free real-MAG ingest (README "MAG / hypergraph ingest");
+        # keep 'mag' in the file name so this branch routes here
+        return DEHDataset.from_npz(cfg.dataset[4:],
+                                   mask_ratio=cfg.train_ratio, k=cfg.k,
+                                   rng=rng)
     return DEHDataset.from_pickle(
         f"./dataset/sgrl/{cfg.dataset}_{cfg.relation}.pl", cfg.relation,
         mask_ratio=cfg.train_ratio, k=cfg.k, rng=rng)

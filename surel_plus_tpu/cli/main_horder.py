@@ -42,6 +42,10 @@ def load_hyper(cfg: ExperimentConfig) -> DEHyperDataset:
         return synthetic_hyper_data(num_nodes=cfg.synth_nodes,
                                     num_triplets=cfg.synth_edges,
                                     seed=cfg.seed)
+    if cfg.dataset.startswith("npz:"):
+        # torch-free tags-math / DBLP ingest (README "MAG / hypergraph
+        # ingest")
+        return DEHyperDataset.from_npz(cfg.dataset[4:], k=cfg.k)
     # tags-math / DBLP-coauthor pickles (dataloader.py:243): torch-format
     import torch
 
@@ -68,8 +72,10 @@ def run_experiment(cfg: ExperimentConfig, logger=None):
             and jax.default_backend() not in ("cpu",)))
 
     t0 = time.time()
+    # --fused_hidden on|off|auto (auto = fused on TPU), as in cli/main
+    fused = {"auto": None, "on": True, "off": False}[cfg.fused_hidden]
     model = HONet(input_dim=cfg.num_steps, hidden_dim=cfg.hidden_channels,
-                  dropout=cfg.dropout)
+                  dropout=cfg.dropout, fused_hidden=fused)
     tcfg = TrainConfig(batch_size=cfg.batch_size, lr=cfg.lr,
                        epochs=cfg.epochs, eval_steps=cfg.eval_steps,
                        early_stop=cfg.early_stop, seed=cfg.seed)

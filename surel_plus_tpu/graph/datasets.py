@@ -365,10 +365,51 @@ class DEHDataset:
             obsrv = obsrv.T
         split_edge = {s: {k2: np.asarray(v2) for k2, v2 in d.items()}
                       for s, d in data["split_edge"].items()}
-        train_edge = np.asarray(split_edge["train"]["edge"])
+        train_edge = DEHDataset._train_pairs(split_edge)
         num_nodes = int(max(train_edge.max(), obsrv.max())) + 1
         return DEHDataset(train_edge, obsrv, split_edge, num_nodes,
                           node_types=list(data["num_nodes_dict"]), **kw)
+
+    @staticmethod
+    def _train_pairs(split_edge: Dict) -> np.ndarray:
+        """[E, 2] train pairs from either split layout (the reference
+        handles both, dataloader.py:173-178)."""
+        train = split_edge["train"]
+        if "source_node" in train:
+            return np.stack([np.asarray(train["source_node"]),
+                             np.asarray(train["target_node"])], axis=1)
+        return np.asarray(train["edge"])
+
+    @staticmethod
+    def from_npz(path: str, **kw) -> "DEHDataset":
+        """Load a MAG relation npz export — the torch-free ingest path
+        (`--dataset npz:<path>` with 'mag' in the file name), mirroring
+        `npz_link_data`. Export recipe in README ("MAG / hypergraph
+        ingest"): flatten the reference pickle's per-relation payload
+        (dataloader.py:155-238) into these keys.
+
+        Required keys: num_nodes, obsrv_edge [E2, 2] (the auxiliary
+        relation), train_src/train_dst [E], valid_src/valid_dst/
+        valid_neg [Qv, k], test_src/test_dst/test_neg [Qt, k]
+        (source-node MRR layout — what the MAG pickles carry);
+        optional node_types (string array)."""
+        z = np.load(path)
+        split_edge = {
+            "train": {"source_node": np.asarray(z["train_src"]),
+                      "target_node": np.asarray(z["train_dst"])},
+            "valid": {"source_node": np.asarray(z["valid_src"]),
+                      "target_node": np.asarray(z["valid_dst"]),
+                      "target_node_neg": np.asarray(z["valid_neg"])},
+            "test": {"source_node": np.asarray(z["test_src"]),
+                     "target_node": np.asarray(z["test_dst"]),
+                     "target_node_neg": np.asarray(z["test_neg"])},
+        }
+        train_edge = DEHDataset._train_pairs(split_edge)
+        node_types = ([str(t) for t in z["node_types"]]
+                      if "node_types" in z.files else None)
+        return DEHDataset(train_edge, np.asarray(z["obsrv_edge"]),
+                          split_edge, int(z["num_nodes"]),
+                          node_types=node_types, **kw)
 
     def process(self, logger=None) -> Dict[str, CSRGraph]:
         lg = logger or log
@@ -474,6 +515,28 @@ class DEHyperDataset:
             split[name] = {"hedge": hedge, "hedge_neg": neg}
         split["train"]["hedge"] = tuples[idx[:num_train]]
         return split
+
+    @staticmethod
+    def from_npz(path: str, **kw) -> "DEHyperDataset":
+        """Load a hypergraph npz export — the torch-free ingest path
+        (`--dataset npz:<path>` in cli.main_horder), mirroring
+        `npz_link_data`. Export recipe in README ("MAG / hypergraph
+        ingest"): flatten the reference pickle's payload
+        (dataloader.py:241-296) into these keys.
+
+        Required keys: num_nodes, edge_index [E, 2] (the pairwise
+        encoder-graph projection), train_hedge [T, 3],
+        valid_hedge/test_hedge [Tv, 3], valid_neg/test_neg [Tv*k, 3]."""
+        z = np.load(path)
+        triplets = {
+            "train": {"hedge": np.asarray(z["train_hedge"])},
+            "valid": {"hedge": np.asarray(z["valid_hedge"]),
+                      "hedge_neg": np.asarray(z["valid_neg"])},
+            "test": {"hedge": np.asarray(z["test_hedge"]),
+                     "hedge_neg": np.asarray(z["test_neg"])},
+        }
+        return DEHyperDataset(np.asarray(z["edge_index"]), triplets,
+                              num_nodes=int(z["num_nodes"]), **kw)
 
     def process(self, logger=None):
         lg = logger or log

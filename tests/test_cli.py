@@ -175,3 +175,78 @@ def test_npz_ingest_mrr_layout(tmp_path):
     assert raw.directed
     assert raw.split_edge["valid"]["target_node_neg"].shape == (30, k)
     assert raw.edge_index.shape == (2, e)
+
+
+def test_npz_ingest_mag(tmp_path):
+    """--dataset npz:<mag file> routes through DEHDataset.from_npz and
+    the full relation pipeline (README 'MAG / hypergraph ingest'): the
+    day a real mag_{cite,write}.pl export appears, Table-3 MAG rows need
+    zero code."""
+    import numpy as np
+
+    from surel_plus_tpu.cli.main import run_experiment
+    from surel_plus_tpu.graph.datasets import (DEHDataset,
+                                               synthetic_hetero_data)
+
+    ds = synthetic_hetero_data(num_authors=60, num_papers=100,
+                               num_writes=300, num_cites=400,
+                               relation="cite", seed=5, k=3)
+    se = ds.split_edge
+    p = tmp_path / "mag_cite.npz"  # 'mag' in the name routes the branch
+    np.savez(
+        p, num_nodes=ds.num_nodes, obsrv_edge=ds.obsrv_edge,
+        node_types=np.array(ds.node_type, dtype="U16"),
+        train_src=se["train"]["source_node"],
+        train_dst=se["train"]["target_node"],
+        valid_src=se["valid"]["source_node"],
+        valid_dst=se["valid"]["target_node"],
+        valid_neg=se["valid"]["target_node_neg"],
+        test_src=se["test"]["source_node"],
+        test_dst=se["test"]["target_node"],
+        test_neg=se["test"]["target_node_neg"])
+
+    loaded = DEHDataset.from_npz(str(p), k=3)
+    assert loaded.num_nodes == ds.num_nodes
+    assert loaded.node_type == ds.node_type
+    np.testing.assert_array_equal(loaded.train_edge, ds.train_edge)
+    np.testing.assert_array_equal(
+        loaded.split_edge["test"]["target_node_neg"],
+        se["test"]["target_node_neg"])
+
+    cfg = ExperimentConfig(
+        dataset=f"npz:{p}", relation="cite", metric="MRR", num_walks=8,
+        num_steps=3, batch_size=128, epochs=1, eval_steps=1, runs=1,
+        hidden_channels=16, log_dir=str(tmp_path), k=3)
+    out = run_experiment(cfg)
+    assert "best" in out
+
+
+def test_npz_ingest_hyper(tmp_path):
+    """--dataset npz:<path> in main_horder routes through
+    DEHyperDataset.from_npz (tags-math / DBLP-coauthor ingest)."""
+    import numpy as np
+
+    from surel_plus_tpu.cli.main_horder import run_experiment
+    from surel_plus_tpu.graph.datasets import (DEHyperDataset,
+                                               synthetic_hyper_data)
+
+    ds = synthetic_hyper_data(num_nodes=150, num_triplets=600, seed=7)
+    t = ds.split_edge
+    p = tmp_path / "tags-math.npz"
+    np.savez(
+        p, num_nodes=ds.num_nodes, edge_index=ds.obsrv_edge,
+        train_hedge=t["train"]["hedge"],
+        valid_hedge=t["valid"]["hedge"], valid_neg=t["valid"]["hedge_neg"],
+        test_hedge=t["test"]["hedge"], test_neg=t["test"]["hedge_neg"])
+
+    loaded = DEHyperDataset.from_npz(str(p), k=5)
+    assert loaded.num_nodes == ds.num_nodes
+    np.testing.assert_array_equal(loaded.split_edge["train"]["hedge"],
+                                  t["train"]["hedge"])
+
+    cfg = ExperimentConfig(
+        dataset=f"npz:{p}", num_walks=8, num_steps=3, batch_size=128,
+        epochs=1, eval_steps=1, runs=1, hidden_channels=16,
+        log_dir=str(tmp_path), k=5)
+    out = run_experiment(cfg)
+    assert "best" in out
