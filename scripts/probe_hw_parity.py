@@ -63,7 +63,11 @@ def run(aggrs: str, spgk, edges, labels, S: int) -> None:
 
 def main():
     aggrs_list = sys.argv[1:] or ["mean", "attn", "lstm"]
-    num_nodes, M, S = 20_000, 100, 3
+    # env M/S override the walk shape (M=200 S=4 = ppa/tags lead-in-hi
+    # layout, where the chunked attn pool + slot-split set-sum engage)
+    num_nodes = 20_000
+    M = int(os.environ.get("M", "100"))
+    S = int(os.environ.get("S", "3"))
     g = rmat_graph(num_nodes, 200_000, seed=0)
     seeds = np.arange(num_nodes, dtype=np.int32)
     spgk = sample_gsets_device_keys(g, seeds, num_walks=M, num_steps=S,

@@ -1069,8 +1069,18 @@ def fused_key_hidden_sum_split(kown, mask_own, kcross, mask_cross,
 def set_sum_splits(ell: int, lc: int, h: int, q: int = 2,
                    tb: int = 8) -> int:
     """Minimal part count for fused_key_hidden_sum_split at this shape
-    (1 = monolithic fits)."""
+    (1 = monolithic fits).
+
+    q>=4 uses BACKWARD-calibrated weights (x1.75 the forward set): the
+    q=4 transpose kernel measured a 27.40 MB scoped allocation where
+    the forward calibration estimated 16.08 MB (nsplit=2 at M=200
+    S'=3, v5e HW, r4) — the hyperedge backward keeps dz planes for all
+    four groups plus the shared cross plane's VJP alive. q=2 keeps the
+    forward weights, which hardware runs validate through M=200
+    (probe_fused_ab mean:1, probe_hw_parity)."""
+    wo, wc = (1.75 * q, 2.45) if q >= 4 else (None, 1.4)
     for nsplit in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32):
-        if fused_fits(-(-ell // nsplit), -(-lc // nsplit), h, q, tb):
+        if fused_fits(-(-ell // nsplit), -(-lc // nsplit), h, q, tb,
+                      w_own=wo, w_cross=wc):
             return nsplit
     return 64

@@ -739,3 +739,50 @@ def test_chunked_attn_lead_in_hi_roots(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
             err_msg=jax.tree_util.keystr(k))
+
+
+def test_honet_group_split_matches_unfused(monkeypatch):
+    """HONet's q=4 fused path splits along the GROUP axis into two q=2
+    calls (the hjoin cross plane is two merges side by side, each group
+    pair reading only its half — join_gathered_hkeys); logits and grads
+    must match the unfused template, including when a tiny forced VMEM
+    budget makes each q=2 part slot-split further."""
+    from surel_plus_tpu.graph.synthetic import rmat_graph
+    from surel_plus_tpu.models import HONet
+    from surel_plus_tpu.ops.join import make_keys_hjoin
+    from surel_plus_tpu.ops.sampler import sample_gsets_device_keys
+
+    NW, NS = 8, 3
+    g = rmat_graph(300, 2400, seed=4)
+    spgk = sample_gsets_device_keys(
+        g, np.arange(300, dtype=np.int32), num_walks=NW, num_steps=NS,
+        seed=4, block_size=300)
+    rng = np.random.default_rng(11)
+    he = jnp.asarray(rng.integers(0, 300, size=(3, 24)).astype(np.int32))
+    joined = make_keys_hjoin(NW, NS)(spgk.nodes, spgk.khi, spgk.klo,
+                                     spgk.sizes, he)
+    assert joined.kown is not None
+    enc = jnp.zeros((1, 1), jnp.float32)
+    kw = dict(input_dim=NS, hidden_dim=16, dropout=0.0)
+    m0 = HONet(fused_hidden=False, **kw)
+    m1 = HONet(fused_hidden=True, key_layout=(NW, NS), **kw)
+    p = m0.init(jax.random.PRNGKey(0), enc, joined)
+
+    def loss(q, m):
+        return (m.apply(q, enc, joined) ** 2).sum()
+
+    l0 = m0.apply(p, enc, joined)
+    g0 = jax.grad(loss)(p, m0)
+    for budget in (None, 48 * 1024):   # monolithic parts, then forced split
+        if budget is not None:
+            monkeypatch.setenv("SUREL_HSUM_VMEM_BUDGET", str(budget))
+        l1 = m1.apply(p, enc, joined)
+        g1 = jax.grad(loss)(p, m1)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   rtol=1e-5, atol=1e-5)
+        for (k, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g0),
+                jax.tree_util.tree_leaves_with_path(g1)):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
+                err_msg=f"budget={budget} {jax.tree_util.keystr(k)}")
