@@ -271,6 +271,41 @@ def main():
             f"{total_pairs/dt_mrr/1e6:.2f}M pairs/s "
             f"({extras['mrr_eval_vs_a100']:.1f}x A100 rate), MRR={mrr:.4f}")
 
+        # Hyperedge (3-node, HONet) training through the group-split
+        # fused path (reference main_horder.py + train.py:142-172;
+        # comparator: DBLP-coauthor 0.24 s / 10K queries on A100, paper
+        # Table 4 => ~41.7k q/s — a different dataset shape, flagged as
+        # approximate).
+        from surel_plus_tpu.models import HONet
+        from surel_plus_tpu.ops.join import make_keys_hjoin
+
+        h_epochs, h_edges = 2, epoch_edges // 2
+        hedges = jnp.asarray(rng.integers(
+            0, num_nodes, size=(3, h_edges)).astype(np.int32))
+        hlabels = jnp.asarray((rng.random(h_edges) < 0.5
+                               ).astype(np.float32))
+        honet = HONet(input_dim=num_steps + 1, hidden_dim=96, dropout=0.1)
+        tr_h = trainer_from_keys(honet, spgk, cfg,
+                                 join_factory=make_keys_hjoin)
+        p_h, o_h = tr_h.init(jax.random.PRNGKey(0),
+                             np.asarray(hedges[:, :batch_size]))
+        t0 = time.time()
+        p_h, o_h, lo_h, _ = tr_h.fit(p_h, o_h, hedges, hlabels,
+                                     jax.random.PRNGKey(5), h_epochs)
+        log(f"hyperedge: fit cold (incl compile) "
+            f"loss={float(lo_h[-1]):.4f} {time.time()-t0:.1f}s")
+        t0 = time.time()
+        p_h, o_h, lo_h, _ = tr_h.fit(p_h, o_h, hedges, hlabels,
+                                     jax.random.PRNGKey(6), h_epochs)
+        _ = float(lo_h[-1])
+        dt_h = time.time() - t0
+        extras["hyperedge_train_queries_per_s"] = round(
+            h_epochs * h_edges / dt_h, 1)
+        extras["hyperedge_vs_a100_dblp"] = round(
+            h_epochs * h_edges / dt_h / 41_667, 3)
+        log(f"hyperedge: train {h_epochs}x{h_edges} in {dt_h:.2f}s -> "
+            f"{extras['hyperedge_train_queries_per_s']:,.0f} q/s")
+
     for name, st in metrics.report().items():
         log(f"phase {name}: {st.total_s:.2f}s x{st.count} "
             f"({st.items_per_s:,.0f} items/s)")

@@ -677,25 +677,26 @@ def _klstm_t_bwd_call(ko, kc, roots, mk, u2, wi2, wh, bh, g, tb, ellp,
     )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
-def _klstmt(ko, kc, roots, mk, u2, wi2, wh, bh, tb, ellp, chunk, shift,
-            interpret):
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13))
+def _klstmt(ko, kc, roots, mk, u2, wi2, wh, bh, tb, tb_bwd, ellp, chunk,
+            shift, interpret):
     return _klstm_t_fwd_call(ko, kc, roots, mk, u2, wi2, wh, bh, tb,
                              ellp, shift, interpret)
 
 
-def _klstmt_fwd(ko, kc, roots, mk, u2, wi2, wh, bh, tb, ellp, chunk,
-                shift, interpret):
+def _klstmt_fwd(ko, kc, roots, mk, u2, wi2, wh, bh, tb, tb_bwd, ellp,
+                chunk, shift, interpret):
     return (_klstm_t_fwd_call(ko, kc, roots, mk, u2, wi2, wh, bh, tb,
                               ellp, shift, interpret),
             (ko, kc, roots, mk, u2, wi2, wh, bh))
 
 
-def _klstmt_bwd(tb, ellp, chunk, shift, interpret, res, g):
+def _klstmt_bwd(tb, tb_bwd, ellp, chunk, shift, interpret, res, g):
     ko, kc, roots, mk, u2, wi2, wh, bh = res
     du, dwi, dwh, dbh = _klstm_t_bwd_call(
-        ko, kc, roots, mk, u2, wi2, wh, bh, g.astype(jnp.float32), tb,
-        ellp, chunk, shift, interpret)
+        ko, kc, roots, mk, u2, wi2, wh, bh, g.astype(jnp.float32),
+        tb_bwd, ellp, chunk, shift, interpret)
     f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
     rz = None if roots is None else tuple(f0(r) for r in roots)
     return f0(ko), f0(kc), rz, f0(mk), du, dwi, dwh, dbh
@@ -709,7 +710,8 @@ def lstm_from_keys(kown: jax.Array, kcross_al: jax.Array,
                    wh: jax.Array, bh: jax.Array, shift: int,
                    root_own: jax.Array | None = None,
                    root_cross: jax.Array | None = None,
-                   tb: int = 128, chunk: int | None = None,
+                   tb: int = 128, tb_bwd: int | None = None,
+                   chunk: int | None = None,
                    interpret: bool | None = None) -> jax.Array:
     """Masked LSTM final hidden directly from packed keys -> [Q, B, H].
 
@@ -726,16 +728,27 @@ def lstm_from_keys(kown: jax.Array, kcross_al: jax.Array,
     nbx, hd = u_ext.shape
     b2 = q * b
     has_root = root_own is not None
-    # row tile: the full 128-lane width when there are enough rows (a
-    # block's minor dim must be %128 or the whole array); nothing
-    # sequence-sized is VMEM-resident, so tb never shrinks below that —
-    # and it MUST not: with b2 >= 128 any tb < 128 makes the key-plane
-    # blocks' lane dim illegal on hardware, so the caller's tb is only
-    # honored for sub-128 row counts
-    tb = 128 if b2 >= 128 else b2
+    # row tiles: lane (minor) dims must be %128 or the whole array, so
+    # with b2 >= 128 the caller's tb is honored only at multiples of
+    # 128 (anything else falls back to 128; sub-128 row counts use the
+    # whole array). Wider forward tiles amortize the recurrence's
+    # dependent-matmul latency over more rows; the backward's chunk
+    # scratch scales with tb, so it takes its own (smaller) tile —
+    # tb_bwd must divide tb so the padded bp serves both grids.
+    if b2 < 128:
+        tb = b2
+    elif tb % 128 != 0:
+        tb = 128
+    tb = min(tb, -(-b2 // 128) * 128)
+    if tb_bwd is None:
+        tb_bwd = min(tb, 128)
+    if b2 >= 128 and (tb_bwd % 128 != 0 or tb % tb_bwd != 0):
+        tb_bwd = 128
+    if b2 < 128:
+        tb_bwd = tb
     bp = -(-b2 // tb) * tb
     if chunk is None:
-        chunk = _pick_chunk(ell, tb, hd + 1, hh, nbx + 1, has_root)
+        chunk = _pick_chunk(ell, tb_bwd, hd + 1, hh, nbx + 1, has_root)
     chunk = min(chunk, max(8, ell))
     ellp = -(-ell // chunk) * chunk
 
@@ -762,6 +775,6 @@ def lstm_from_keys(kown: jax.Array, kcross_al: jax.Array,
     wi2 = jnp.pad(wi.astype(jnp.float32), [(0, 1), (0, 0)])
     out = _klstmt(ko, kc, roots, mk, u2, wi2,
                   wh.astype(jnp.float32),
-                  bh.reshape(1, -1).astype(jnp.float32), tb, ellp,
-                  chunk, shift, interpret)
+                  bh.reshape(1, -1).astype(jnp.float32), tb, tb_bwd,
+                  ellp, chunk, shift, interpret)
     return out[:b2].reshape(q, b, hh)
