@@ -411,6 +411,20 @@ def _klstm_t_vmem(tb, ell, chunk, hdp, hh, nbx1, has_root) -> int:
     return 4 * (scratch + keys + ops + outs)
 
 
+def _klstm_t_fwd_vmem(tb, ellp, hh, nbx1, hdp, has_root) -> int:
+    """f32/int32 bytes resident per grid cell of the transposed
+    FORWARD: Pallas double-buffers the pipelined key-plane blocks (the
+    observed M=200 has_root tb=512 allocation is 16.25 MB ~= 2 x 5
+    planes x 832 x 512 x 4B), plus operands and the output block."""
+    lp = lambda n: -(-n // 128) * 128
+    nplanes = 5 if has_root else 3
+    planes = 2 * nplanes * ellp * lp(tb)
+    ops = (nbx1 * lp(hdp) + hdp * lp(4 * hh) + hh * lp(4 * hh)
+           + lp(4 * hh))
+    out = 2 * tb * lp(hh)
+    return 4 * (planes + ops + out)
+
+
 def _pick_chunk(ell, tb, hdp, hh, nbx1, has_root) -> int:
     """Largest power-of-two BPTT chunk fitting the VMEM budget. The
     footprint is U-shaped in chunk (boundary carries ~ell/chunk, chunk
@@ -710,7 +724,7 @@ def lstm_from_keys(kown: jax.Array, kcross_al: jax.Array,
                    wh: jax.Array, bh: jax.Array, shift: int,
                    root_own: jax.Array | None = None,
                    root_cross: jax.Array | None = None,
-                   tb: int = 128, tb_bwd: int | None = None,
+                   tb: int | None = None, tb_bwd: int | None = None,
                    chunk: int | None = None,
                    interpret: bool | None = None) -> jax.Array:
     """Masked LSTM final hidden directly from packed keys -> [Q, B, H].
@@ -729,28 +743,51 @@ def lstm_from_keys(kown: jax.Array, kcross_al: jax.Array,
     b2 = q * b
     has_root = root_own is not None
     # row tiles: lane (minor) dims must be %128 or the whole array, so
-    # with b2 >= 128 the caller's tb is honored only at multiples of
-    # 128 (anything else falls back to 128; sub-128 row counts use the
-    # whole array). Wider forward tiles amortize the recurrence's
-    # dependent-matmul latency over more rows; the backward's chunk
-    # scratch scales with tb, so it takes its own (smaller) tile —
-    # tb_bwd must divide tb so the padded bp serves both grids.
+    # with b2 >= 128 tb is honored only at multiples of 128 (anything
+    # else falls back to 128; sub-128 row counts use the whole array).
+    # The recurrence is LATENCY-bound (0.82 us per dependent tile-step
+    # at tb=128), so wider forward tiles amortize it over more rows:
+    # tb=512 measured fwd x1.57 / fwd+bwd (with tb_bwd=256) x1.45 over
+    # tb=128 at [2,4096,301] on v5e (scripts/probe_lstm_tb2.py) —
+    # that's the auto default. The backward's chunk scratch scales with
+    # tb, so it takes its own tile, auto-picked as the widest whose
+    # VMEM model fits at any chunk; tb_bwd must divide tb so the padded
+    # bp serves both grids.
     if b2 < 128:
-        tb = b2
-    elif tb % 128 != 0:
-        tb = 128
-    tb = min(tb, -(-b2 // 128) * 128)
-    if tb_bwd is None:
-        tb_bwd = min(tb, 128)
-    if b2 >= 128 and (tb_bwd % 128 != 0 or tb % tb_bwd != 0):
-        tb_bwd = 128
-    if b2 < 128:
-        tb_bwd = tb
-    bp = -(-b2 // tb) * tb
+        tb = tb_bwd = b2
+    else:
+        bcap = -(-b2 // 128) * 128
+        if tb_bwd is None:
+            tb_bwd = 128
+            for cand in (256,):
+                if cand <= bcap and any(
+                        _klstm_t_vmem(cand, ell, ch, hd + 1, hh,
+                                      nbx + 1, has_root)
+                        <= _vmem_budget() for ch in (64, 32, 16, 8)):
+                    tb_bwd = cand
+        if tb_bwd % 128 != 0 or tb_bwd > bcap:
+            tb_bwd = 128
     if chunk is None:
         chunk = _pick_chunk(ell, tb_bwd, hd + 1, hh, nbx + 1, has_root)
     chunk = min(chunk, max(8, ell))
     ellp = -(-ell // chunk) * chunk
+    if b2 >= 128:
+        if tb is None:
+            # widest forward tile whose double-buffered plane set fits
+            tb = 128
+            for cand in (512, 256):
+                if (cand <= bcap
+                        and _klstm_t_fwd_vmem(cand, ellp, hh, nbx + 1,
+                                              hd + 1, has_root)
+                        <= _vmem_budget()):
+                    tb = cand
+                    break
+        elif tb % 128 != 0:
+            tb = 128
+        tb = min(tb, bcap)
+        if tb % tb_bwd != 0:
+            tb_bwd = 128 if tb % 128 == 0 else tb
+    bp = -(-b2 // tb) * tb
 
     def prep(a, fill=0):
         a = a.reshape(b2, ell)
