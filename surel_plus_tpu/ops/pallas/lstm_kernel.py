@@ -411,6 +411,49 @@ def _klstm_t_vmem(tb, ell, chunk, hdp, hh, nbx1, has_root) -> int:
     return 4 * (scratch + keys + ops + outs)
 
 
+def _pick_tiles(b2, ell, hd, hh, nbx, has_root, tb=None, tb_bwd=None,
+                chunk=None):
+    """Resolve (tb, tb_bwd, chunk, ellp) for the transposed keys-LSTM
+    kernels (see lstm_from_keys for the policy rationale). Pure
+    function of the shape — pinned by tests/test_pallas_hidden_sum."""
+    if b2 < 128:
+        tb = tb_bwd = b2
+    else:
+        bcap = -(-b2 // 128) * 128
+        if tb_bwd is None:
+            tb_bwd = 128
+            for cand in (256,):
+                if cand <= bcap and any(
+                        _klstm_t_vmem(cand, ell, ch, hd + 1, hh,
+                                      nbx + 1, has_root)
+                        <= _vmem_budget() for ch in (64, 32, 16, 8)):
+                    tb_bwd = cand
+        if tb_bwd % 128 != 0 or tb_bwd > bcap:
+            tb_bwd = 128
+    if chunk is None:
+        chunk = _pick_chunk(ell, tb_bwd, hd + 1, hh, nbx + 1, has_root)
+    chunk = min(chunk, max(8, ell))
+    ellp = -(-ell // chunk) * chunk
+    if b2 >= 128:
+        bcap = -(-b2 // 128) * 128
+        if tb is None:
+            # widest forward tile whose double-buffered plane set fits
+            tb = 128
+            for cand in (512, 256):
+                if (cand <= bcap
+                        and _klstm_t_fwd_vmem(cand, ellp, hh, nbx + 1,
+                                              hd + 1, has_root)
+                        <= _vmem_budget()):
+                    tb = cand
+                    break
+        elif tb % 128 != 0:
+            tb = 128
+        tb = min(tb, bcap)
+        if tb % tb_bwd != 0:
+            tb_bwd = 128 if tb % 128 == 0 else tb
+    return tb, tb_bwd, chunk, ellp
+
+
 def _klstm_t_fwd_vmem(tb, ellp, hh, nbx1, hdp, has_root) -> int:
     """f32/int32 bytes resident per grid cell of the transposed
     FORWARD: Pallas double-buffers the pipelined key-plane blocks (the
@@ -753,40 +796,8 @@ def lstm_from_keys(kown: jax.Array, kcross_al: jax.Array,
     # tb, so it takes its own tile, auto-picked as the widest whose
     # VMEM model fits at any chunk; tb_bwd must divide tb so the padded
     # bp serves both grids.
-    if b2 < 128:
-        tb = tb_bwd = b2
-    else:
-        bcap = -(-b2 // 128) * 128
-        if tb_bwd is None:
-            tb_bwd = 128
-            for cand in (256,):
-                if cand <= bcap and any(
-                        _klstm_t_vmem(cand, ell, ch, hd + 1, hh,
-                                      nbx + 1, has_root)
-                        <= _vmem_budget() for ch in (64, 32, 16, 8)):
-                    tb_bwd = cand
-        if tb_bwd % 128 != 0 or tb_bwd > bcap:
-            tb_bwd = 128
-    if chunk is None:
-        chunk = _pick_chunk(ell, tb_bwd, hd + 1, hh, nbx + 1, has_root)
-    chunk = min(chunk, max(8, ell))
-    ellp = -(-ell // chunk) * chunk
-    if b2 >= 128:
-        if tb is None:
-            # widest forward tile whose double-buffered plane set fits
-            tb = 128
-            for cand in (512, 256):
-                if (cand <= bcap
-                        and _klstm_t_fwd_vmem(cand, ellp, hh, nbx + 1,
-                                              hd + 1, has_root)
-                        <= _vmem_budget()):
-                    tb = cand
-                    break
-        elif tb % 128 != 0:
-            tb = 128
-        tb = min(tb, bcap)
-        if tb % tb_bwd != 0:
-            tb_bwd = 128 if tb % 128 == 0 else tb
+    tb, tb_bwd, chunk, ellp = _pick_tiles(
+        b2, ell, hd, hh, nbx, has_root, tb, tb_bwd, chunk)
     bp = -(-b2 // tb) * tb
 
     def prep(a, fill=0):

@@ -786,3 +786,27 @@ def test_honet_group_split_matches_unfused(monkeypatch):
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
                 err_msg=f"budget={budget} {jax.tree_util.keystr(k)}")
+
+
+def test_lstm_tile_policy():
+    """Pin the keys-LSTM auto tile policy (hardware-calibrated r4:
+    wide forward tiles amortize the latency-bound recurrence; the
+    backward tile is VMEM-capped by its chunk scratch, and the
+    lead-in-hi root layout's 5 double-buffered planes shrink the
+    forward tile at M=200)."""
+    from surel_plus_tpu.ops.pallas.lstm_kernel import _pick_tiles
+
+    # bench shape [2, 4096, 301], lead-in-lo (no roots): 512/256
+    tb, tbb, chunk, ellp = _pick_tiles(8192, 301, 97, 96, 6, False)
+    assert (tb, tbb) == (512, 256)
+    assert ellp % chunk == 0 and ellp >= 301
+    # M=200 lead-in-hi (root planes): fwd shrinks to 256, bwd to 128
+    tb, tbb, _, _ = _pick_tiles(8192, 801, 97, 96, 6, True)
+    assert (tb, tbb) == (256, 128)
+    # sub-128 rows: whole-array tiles
+    tb, tbb, _, _ = _pick_tiles(48, 37, 17, 16, 5, False)
+    assert tb == 48 and tbb == 48
+    # explicit caller tiles are honored at multiples of 128
+    tb, tbb, _, _ = _pick_tiles(8192, 301, 97, 96, 6, False,
+                                tb=128, tb_bwd=128)
+    assert (tb, tbb) == (128, 128)
