@@ -387,10 +387,17 @@ class DistributedKeysScorer:
     joined locally, scored data-parallel; scores return replicated."""
 
     def __init__(self, model, mesh: Mesh, sspg: ShardedSpGKeys,
-                 batch_size: int = 4096):
+                 batch_size: int = 4096, join_gathered=None):
+        """join_gathered: (rows_nodes, rows_hi, rows_lo, rows_sizes,
+        M, S) -> JoinedBatch over pre-gathered endpoint rows; defaults
+        to the 2-endpoint link join. Pass ops.join.join_gathered_hkeys
+        (+ an HONet model) for distributed hyperedge eval — the
+        reference's eval_model_horder (train.py:283-317) at mesh
+        scale."""
         self.model = model
         self.mesh = mesh
         self.sspg = sspg
+        self.join_gathered = join_gathered
         dp = mesh.shape["data"]
         self.batch_size = ((batch_size + dp - 1) // dp) * dp
         self._score_cache = {}
@@ -413,6 +420,7 @@ class DistributedKeysScorer:
         mesh, sspg = self.mesh, self.sspg
         rps = sspg.rows_per_shard
         M, S = sspg.num_walks, sspg.num_steps
+        join_gathered = self.join_gathered or join_gathered_keys
 
         def score_local(params, nodes, khi, klo, sizes, edges):
             # edges: [Q, nsteps * B_local] (this shard's column block)
@@ -429,8 +437,8 @@ class DistributedKeysScorer:
                 slot = jnp.arange(L, dtype=jnp.int32)
                 valid = slot[None, None, :] < rows_sizes[:, :, None]
                 rows_nodes = jnp.where(valid, rows_nodes, INT32_MAX)
-                joined = join_gathered_keys(rows_nodes, rows_hi, rows_lo,
-                                            rows_sizes, M, S)
+                joined = join_gathered(rows_nodes, rows_hi, rows_lo,
+                                       rows_sizes, M, S)
                 logits = self.model.apply(
                     params, jnp.zeros((1, 1), jnp.float32), joined, None,
                     train=False)

@@ -353,3 +353,40 @@ def test_distributed_hyperedge_step_matches_single(setup):
         not np.allclose(np.asarray(a), np.asarray(b))
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)))
     assert moved
+
+
+def test_distributed_hyperedge_scorer_matches_single(setup):
+    """DistributedKeysScorer with join_gathered_hkeys reproduces the
+    single-device HONet scores exactly — distributed eval_model_horder
+    (reference train.py:283-317) at mesh scale."""
+    from surel_plus_tpu.models import HONet
+    from surel_plus_tpu.ops.join import join_gathered_hkeys, make_keys_hjoin
+    from surel_plus_tpu.ops.sampler import sample_gsets_device_keys
+    from surel_plus_tpu.parallel.dist import (
+        DistributedKeysScorer, shard_spg_keys)
+
+    g, _, _ = setup
+    spgk = sample_gsets_device_keys(g, np.arange(200, dtype=np.int32),
+                                    num_walks=8, num_steps=2, seed=1,
+                                    block_size=200)
+    mesh = make_mesh(8)
+    sspg = shard_spg_keys(spgk, mesh)
+    honet = HONet(input_dim=3, hidden_dim=16, dropout=0.0,
+                  key_layout=(8, 2))
+
+    rng = np.random.default_rng(2)
+    E = 100   # not a multiple of the batch -> exercises padding
+    hedges = rng.integers(0, 200, size=(3, E)).astype(np.int32)
+    hjoin = make_keys_hjoin(8, 2)
+    joined = hjoin(spgk.nodes, spgk.khi, spgk.klo, spgk.sizes,
+                   jnp.asarray(hedges))
+    params = honet.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 1), jnp.float32), joined)
+    want = jax.nn.sigmoid(honet.apply(
+        params, jnp.zeros((1, 1), jnp.float32), joined))
+
+    scorer = DistributedKeysScorer(honet, mesh, sspg, batch_size=32,
+                                   join_gathered=join_gathered_hkeys)
+    got = scorer(params, hedges)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
