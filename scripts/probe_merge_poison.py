@@ -105,6 +105,90 @@ def run_case(case: str, execs: int) -> None:
             return k, p
 
         f = jax.jit(g)
+    elif case in ("join_only", "join_scan", "join_scan2", "with_sort"):
+        os.environ["SUREL_MERGE_NET"] = "1"
+        from surel_plus_tpu.graph.synthetic import rmat_graph
+        from surel_plus_tpu.ops.join import make_keys_join
+        from surel_plus_tpu.ops.sampler import sample_gsets_device_keys
+        g = rmat_graph(100_000, 1_000_000, seed=0)
+        spgk = sample_gsets_device_keys(
+            g, np.arange(100_000, dtype=np.int32), num_walks=100,
+            num_steps=3, seed=0)
+        _ = int(spgk.sizes.max())
+        join = make_keys_join(100, 3)
+        rng = np.random.default_rng(0)
+        e8 = jnp.asarray(rng.integers(0, 100_000, (2, 8 * 4096))
+                         .astype(np.int32))
+        sarr = (spgk.nodes, spgk.khi, spgk.klo, spgk.sizes)
+
+        if case == "join_only":
+            def g1(n, h, lo, sz, e):
+                j = join(n, h, lo, sz, e[:, :4096])
+                return j.kcross.astype(jnp.float32).sum()
+
+            f = jax.jit(g1)
+        elif case == "join_scan2":
+            # nested scans (epochs x steps) like DeviceTrainer.fit
+            def g3(n, h, lo, sz, e):
+                def step(c, i):
+                    be = jax.lax.dynamic_slice(
+                        e, (0, (i % 8) * 4096), (2, 4096))
+                    j = join(n, h, lo, sz, be)
+                    return c + j.kcross.astype(jnp.float32).sum(), None
+
+                def epoch(c, _):
+                    c2, _ = jax.lax.scan(step, c,
+                                         jnp.arange(8, dtype=jnp.int32))
+                    return c2, None
+
+                return jax.lax.scan(epoch, jnp.float32(0),
+                                    jnp.arange(4, dtype=jnp.int32))[0]
+
+            f = jax.jit(g3)
+        elif case == "with_sort":
+            # one scan, but each step ALSO runs a riffle-style lax.sort
+            # (the fit's epoch shuffle) in the same program as the
+            # merge network
+            from surel_plus_tpu.train.device import riffle_permutation
+
+            def g4(n, h, lo, sz, e):
+                def step(c, i):
+                    perm = riffle_permutation(
+                        jax.random.fold_in(jax.random.PRNGKey(0), i),
+                        8, 4096)
+                    be = e[:, perm[i % 8]]
+                    j = join(n, h, lo, sz, be)
+                    return c + j.kcross.astype(jnp.float32).sum(), None
+
+                return jax.lax.scan(step, jnp.float32(0),
+                                    jnp.arange(8, dtype=jnp.int32))[0]
+
+            f = jax.jit(g4)
+        else:
+            def g2(n, h, lo, sz, e):
+                def body(c, i):
+                    be = jax.lax.dynamic_slice(
+                        e, (0, (i % 8) * 4096), (2, 4096))
+                    j = join(n, h, lo, sz, be)
+                    return c + j.kcross.astype(jnp.float32).sum(), None
+
+                return jax.lax.scan(body, jnp.float32(0),
+                                    jnp.arange(8, dtype=jnp.int32))[0]
+
+            f = jax.jit(g2)
+
+        for i in range(execs):
+            t0 = time.time()
+            try:
+                s = float(f(*sarr, e8))
+                print(f"exec {i}: ok ({time.time()-t0:.2f}s, v={s:.3g})",
+                      flush=True)
+            except Exception as ex:
+                print(f"exec {i}: FAILED after {time.time()-t0:.2f}s\n"
+                      f"{type(ex).__name__}: {str(ex)[:500]}", flush=True)
+                sys.exit(2)
+        print("case passed", flush=True)
+        return
     elif case == "join_step":
         os.environ["SUREL_MERGE_NET"] = "1"
         import subprocess
