@@ -114,6 +114,23 @@ class AttnAggregation(torch.nn.Module):
         out.index_add_(0, seg, a * val)
         return out
 
+    def forward_dedup(self, h_u, inv, seg, nseg):
+        """Same math with the gate/value Linears applied once per UNIQUE
+        feature row (h_u) and gathered back via inv — the per-row exp /
+        softmax / weighted index_add are unchanged. See
+        TorchNet.forward's dedup note."""
+        gate_u = self.gate_nn(h_u)                      # [U, 1]
+        val_u = self.value_nn(h_u)                      # [U, H]
+        gate = gate_u[inv]
+        gate = gate - gate.max()
+        e = torch.exp(gate)
+        denom = torch.zeros(nseg, 1, dtype=h_u.dtype)
+        denom.index_add_(0, seg, e)
+        a = e / denom[seg]
+        out = torch.zeros(nseg, h_u.shape[-1], dtype=h_u.dtype)
+        out.index_add_(0, seg, a * val_u[inv])
+        return out
+
 
 class LSTMAggregation(torch.nn.Module):
     """PyG-free re-statement of aggr.LSTMAggregation (model.py:63-65):
@@ -232,8 +249,51 @@ class TorchNet(torch.nn.Module):
             self.aggr.reset_parameters()
         self.affinity_score.reset_parameters()
 
-    def forward(self, xz, indptr):
-        # xz: [rows, 2, S] float; indptr: [2B+1] long segment boundaries
+    def forward(self, pairs, indptr, enc):
+        """pairs: [rows, 2] long indices into enc; indptr: [2B+1] long.
+
+        The reference materializes xz = enc[pairs] ([rows, 2, S]) and
+        runs the pe MLP on every row (model.py:76-78) — but enc has only
+        a few hundred unique rows after the sampler's bit-hash dedup, so
+        the (enc_u, enc_v) pair vocabulary per batch is ~1000x smaller
+        than the row count. We run the pe MLP (and, for attn, the
+        gate/value Linears) once per UNIQUE pair and gather the results
+        back — the same function evaluated on the same values, so the
+        forward is numerically identical (parameter gradients differ
+        only in float summation order). `_self_check` asserts this
+        against the dense path on the first batch."""
+        if self.training and not getattr(self, "_checked", False):
+            self._self_check(pairs, indptr, enc)
+            self._checked = True
+        nenc = enc.shape[0]
+        key = pairs[:, 0] * nenc + pairs[:, 1]
+        uniq, inv = torch.unique(key, return_inverse=True)
+        up = torch.stack([uniq // nenc, uniq % nenc], dim=1)
+        xz_u = enc[up]                                   # [U, 2, S]
+        h_u = self.pe2(torch.relu(self.pe1(xz_u))).sum(dim=-2)  # [U, H]
+        nseg = indptr.numel() - 1
+        lengths = indptr[1:] - indptr[:-1]
+        seg = torch.repeat_interleave(torch.arange(nseg), lengths)
+        if self.aggrs == "attn":
+            agg = self.aggr.forward_dedup(h_u, inv, seg, nseg).view(
+                2, -1, h_u.shape[-1])
+        elif self.aggrs == "lstm":
+            x = h_u[inv]
+            agg = self.aggr(x, seg, nseg, lengths).view(
+                2, -1, x.shape[-1])
+        else:
+            x = h_u[inv]
+            sums = torch.zeros(nseg, x.shape[-1], dtype=x.dtype)
+            sums.index_add_(0, seg, x)
+            cnt = lengths.clamp(min=1).unsqueeze(1)
+            agg = (sums / cnt).view(2, -1, x.shape[-1])
+        return self.affinity_score(agg[0], agg[1])
+
+    def _forward_dense(self, pairs, indptr, enc):
+        """The reference's literal computation (model.py:76-90): pe MLP
+        on every materialized [rows, 2, S] row. Used only by
+        _self_check; O(rows) matmuls make it ~10s/batch on this box."""
+        xz = enc[pairs]
         x = self.pe2(torch.relu(self.pe1(xz))).sum(dim=-2)  # [rows, H]
         nseg = indptr.numel() - 1
         lengths = indptr[1:] - indptr[:-1]
@@ -250,13 +310,32 @@ class TorchNet(torch.nn.Module):
             agg = (sums / cnt).view(2, -1, x.shape[-1])
         return self.affinity_score(agg[0], agg[1])
 
+    def _self_check(self, pairs, indptr, enc):
+        was_training = self.training
+        self.eval()   # disable MergeLayer dropout for a deterministic diff
+        with torch.no_grad():
+            dense = self._forward_dense(pairs, indptr, enc)
+            self._checked = True   # keep forward() from recursing
+            dedup = self.forward(pairs, indptr, enc)
+        err = (dense - dedup).abs().max().item()
+        assert err < 1e-4, f"dedup forward != dense reference: {err}"
+        log.info("dedup forward self-check ok: max |Δlogit| = %.2e "
+                 "(rows=%d, unique pairs=%d)", err, pairs.shape[0],
+                 len(torch.unique(pairs[:, 0] * enc.shape[0]
+                                  + pairs[:, 1])))
+        if was_training:
+            self.train()
+
 
 # ---------------------------------------------------------------------------
 # Reference gather semantics (train.py:13-45): scipy row slice, boolean
 # masks, cross join via x.multiply(mask) + mask, encode-table lookup.
 
 def gather(edge: np.ndarray, X, enc: np.ndarray):
-    """edge [2, B] -> (xz [rows, 2, S] float32 tensor, indptr [2B+1])."""
+    """edge [2, B] -> (pairs [rows, 2] long enc-row ids, indptr [2B+1]).
+
+    The reference returns enc[pairs] directly (train.py:34-37); we defer
+    the table lookup to TorchNet.forward so it can dedup unique pairs."""
     xl, xr = X[edge[0]], X[edge[1]]
     for m in (xl, xr):
         m.sort_indices()
@@ -268,18 +347,19 @@ def gather(edge: np.ndarray, X, enc: np.ndarray):
         m.sort_indices()
     pl = np.stack([xl.data, xrl.data - 1]).T      # [nl, 2] enc ids
     pr = np.stack([xr.data, xlr.data - 1]).T
-    xz = enc[np.vstack([pl, pr]).astype(np.int64)]
-    return (torch.from_numpy(xz).float(),
+    pairs = np.vstack([pl, pr]).astype(np.int64)
+    return (torch.from_numpy(pairs),
             torch.from_numpy(indptr).long())
 
 
 def predict_split(model, edges, X, enc, batch_size):
     model.eval()
+    enc_t = torch.from_numpy(enc).float()
     out = []
     with torch.no_grad():
         for lo in range(0, edges.shape[1], batch_size):
-            xz, ptr = gather(edges[:, lo:lo + batch_size], X, enc)
-            out.append(torch.sigmoid(model(xz, ptr)))
+            pairs, ptr = gather(edges[:, lo:lo + batch_size], X, enc)
+            out.append(torch.sigmoid(model(pairs, ptr, enc_t)))
     return torch.cat(out).numpy()
 
 
@@ -339,11 +419,12 @@ def run(cfg: ExperimentConfig) -> ResultLogger:
             tot_loss, tot_n = 0.0, 0
             preds, labs = [], []
             t1 = time.time()
+            xpe_t = torch.from_numpy(xpe).float()
             for lo in range(0, len(perm), cfg.batch_size):
                 sel = perm[lo:lo + cfg.batch_size]
                 opt.zero_grad()
-                xz, ptr = gather(edges[:, sel], X, xpe)
-                pred = model(xz, ptr)
+                pairs, ptr = gather(edges[:, sel], X, xpe)
+                pred = model(pairs, ptr, xpe_t)
                 target = labels[sel]
                 loss = loss_fn(pred, target)
                 # reference order: clip THEN backward (train.py:131-133)
