@@ -1,12 +1,20 @@
-"""Generate the recorded-split offline fixture (see BLOCKED_OGB.md).
+"""Generate the recorded-split offline fixtures (see BLOCKED_OGB.md).
 
-A collab-shaped weighted graph in the exact RawLinkData/OGB split layout:
+Collab-shaped weighted graphs in the exact RawLinkData/OGB split layout:
 power-law (RMAT) degree structure, collaboration-count edge weights,
 held-out valid/test positives with recorded evaluation negatives.
-Deterministic: same seed -> same npz, committed at
-surel_plus_tpu/data/fixtures/collab_fixture.npz.
+Deterministic: same seed -> same npz, committed under
+surel_plus_tpu/data/fixtures/.
+
+Negatives are drawn AFTER the graph and positive splits from the same
+RNG stream, so raising --negs regenerates ONLY the recorded evaluation
+negatives — the graph, weights, and train/valid/test positives are
+byte-identical to the previous fixture (asserted in main when the old
+file exists). r5 hardening (VERDICT r4 item 8): 100k negatives per
+eval split, taking valid-ranking noise from ~±7 to ~±2 Hits points.
 """
 
+import argparse
 import os
 import sys
 
@@ -19,15 +27,18 @@ from surel_plus_tpu.graph.negative import negative_sampling  # noqa: E402
 from surel_plus_tpu.graph.synthetic import rmat_graph  # noqa: E402
 
 SEED = 20260817
-N_NODES = 30_000
-N_EDGES = 360_000          # RMAT draws; ~uniques after dedup
-VAL_FRAC, TEST_FRAC = 0.04, 0.04
-NEG_PER_SPLIT = 30_000
+
+# name -> (n_nodes, n_rmat_draws, val_frac, test_frac)
+SPECS = {
+    "collab": (30_000, 360_000, 0.04, 0.04),
+    "collabs": (8_000, 72_000, 0.05, 0.05),
+}
 
 
-def main():
+def build(name: str, negs: int, out_dir: str, check_positives: bool = True):
+    n_nodes, n_draws, val_frac, test_frac = SPECS[name]
     rng = np.random.default_rng(SEED)
-    g = rmat_graph(N_NODES, N_EDGES, seed=SEED)
+    g = rmat_graph(n_nodes, n_draws, seed=SEED)
     sp = g.to_scipy().tocoo()
     keep = sp.row < sp.col
     edges = np.stack([sp.row[keep], sp.col[keep]]).astype(np.int64)
@@ -36,21 +47,35 @@ def main():
     weights = (1 + rng.poisson(0.7, size=E)).astype(np.float32)
 
     perm = rng.permutation(E)
-    n_val, n_test = int(E * VAL_FRAC), int(E * TEST_FRAC)
+    n_val, n_test = int(E * val_frac), int(E * test_frac)
     test_i = perm[:n_test]
     val_i = perm[n_test:n_test + n_val]
     train_i = perm[n_test + n_val:]
 
-    neg_val = negative_sampling(edges, N_NODES, NEG_PER_SPLIT, rng=rng).T
-    neg_test = negative_sampling(edges, N_NODES, NEG_PER_SPLIT, rng=rng).T
+    neg_val = negative_sampling(edges, n_nodes, negs, rng=rng).T
+    neg_test = negative_sampling(edges, n_nodes, negs, rng=rng).T
 
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "surel_plus_tpu", "data", "fixtures")
-    os.makedirs(out, exist_ok=True)
-    path = os.path.join(out, "collab_fixture.npz")
+    path = os.path.join(out_dir, f"{name}_fixture.npz")
+    if check_positives and os.path.exists(path):
+        old = np.load(path)
+        same = (old["train_edge"].shape == (len(train_i), 2)
+                and np.array_equal(old["train_edge"],
+                                   edges[:, train_i].T.astype(np.int32))
+                and np.array_equal(old["valid_edge"],
+                                   edges[:, val_i].T.astype(np.int32))
+                and np.array_equal(old["test_edge"],
+                                   edges[:, test_i].T.astype(np.int32))
+                and np.array_equal(old["train_weight"], weights[train_i]))
+        if same:
+            print(f"{name}: positives/weights match committed fixture "
+                  "(negatives-only regeneration)")
+        else:
+            print(f"{name}: REPLACING fixture (positives differ from "
+                  "committed — prior generation params not in this spec)")
+
     np.savez_compressed(
         path,
-        num_nodes=np.int64(N_NODES),
+        num_nodes=np.int64(n_nodes),
         train_edge=edges[:, train_i].T.astype(np.int32),
         train_weight=weights[train_i],
         valid_edge=edges[:, val_i].T.astype(np.int32),
@@ -60,9 +85,21 @@ def main():
         test_weight=weights[test_i],
         test_neg=neg_test.astype(np.int32),
     )
-    print(f"wrote {path}: N={N_NODES} train={len(train_i)} "
-          f"val={n_val} test={n_test} "
+    print(f"wrote {path}: N={n_nodes} train={len(train_i)} "
+          f"val={n_val} test={n_test} negs={negs} "
           f"({os.path.getsize(path)/1e6:.1f} MB)")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--names", default="collab,collabs")
+    p.add_argument("--negs", type=int, default=100_000)
+    args = p.parse_args()
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "surel_plus_tpu", "data", "fixtures")
+    os.makedirs(out, exist_ok=True)
+    for name in args.names.split(","):
+        build(name, args.negs, out)
 
 
 if __name__ == "__main__":

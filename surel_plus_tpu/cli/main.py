@@ -260,22 +260,31 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
                 classes = classes + (bucket_w,)
             logger.info("balanced-width batching: classes %s", classes)
 
-            def run_epoch(params, opt_state, key):
+            def run_epochs(params, opt_state, key, n):
                 p, o, losses, aucs, _ = trainer.fit_balanced(
-                    params, opt_state, edges, labels, key, 1, classes)
-                return p, o, float(losses[0]), float(aucs[0])
+                    params, opt_state, edges, labels, key, n, classes)
+                return p, o, np.asarray(losses), np.asarray(aucs)
         else:
-            def run_epoch(params, opt_state, key):
-                p, o, loss, auc = trainer.train_epoch(
-                    params, opt_state, edges_dev, labels_dev, key)
-                return p, o, float(loss), float(auc)
+            def run_epochs(params, opt_state, key, n):
+                # n epochs = ONE device program (DeviceTrainer.fit): each
+                # dispatch costs ~1 s on the tunneled link, so per-epoch
+                # dispatch between evals is pure overhead (VERDICT r4
+                # item 5; same pattern as main_horder.py)
+                p, o, losses, aucs = trainer.fit(
+                    params, opt_state, edges_dev, labels_dev, key, n)
+                return p, o, np.asarray(losses), np.asarray(aucs)
 
         def run_eval(params):
             return evaluate_device(scorer, params, inf_edge, cfg.metric)
     else:
-        def run_epoch(params, opt_state, key):
-            return trainer.train_epoch(params, opt_state, edges, labels,
-                                       rng, key)
+        def run_epochs(params, opt_state, key, n):
+            losses, aucs = [], []
+            for sub in jax.random.split(key, n):
+                params, opt_state, loss, auc = trainer.train_epoch(
+                    params, opt_state, edges, labels, rng, sub)
+                losses.append(loss)
+                aucs.append(auc)
+            return params, opt_state, np.asarray(losses), np.asarray(aucs)
 
         def run_eval(params):
             return evaluate(scorer, params, inf_edge, cfg.metric)
@@ -309,17 +318,30 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
             key = jax.numpy.asarray(state["key"])
             logger.info("resumed from %s at epoch %d", cfg.resume,
                         start_epoch)
-        for epoch in range(start_epoch, cfg.epochs):
+        epoch = start_epoch
+        while epoch < cfg.epochs:
+            # train up to and including the next eval epoch (e where
+            # e % eval_steps == 0) as ONE block — identical epoch/eval
+            # cadence to the former per-epoch loop, eval_steps fewer
+            # dispatches per block on the device engine
+            n = (1 - epoch) % cfg.eval_steps
+            if n == 0:
+                n = cfg.eval_steps
+            n = min(n, cfg.epochs - epoch)
             key, sub = jax.random.split(key)
-            with metrics.phase("train_epoch", items=edges.shape[1]):
-                params, opt_state, loss, auc = run_epoch(params, opt_state,
-                                                         sub)
-            logger.info("Run: %02d, Epoch: %02d, Loss: %.4f, AUC: %.4f",
-                        run + 1, epoch, loss, auc)
-            if epoch % cfg.eval_steps == 0:
+            with metrics.phase("train_epoch", items=edges.shape[1] * n):
+                params, opt_state, losses, aucs = run_epochs(
+                    params, opt_state, sub, n)
+            for i in range(n):
+                logger.info("Run: %02d, Epoch: %02d, Loss: %.4f, "
+                            "AUC: %.4f", run + 1, epoch + i,
+                            float(losses[i]), float(aucs[i]))
+            epoch += n
+            last = epoch - 1
+            if last % cfg.eval_steps == 0:
                 save_checkpoint(
                     {"params": params, "opt_state": opt_state,
-                     "epoch": np.asarray(epoch),
+                     "epoch": np.asarray(last),
                      "key": np.asarray(key)},
                     f"{cfg.log_dir}/{cfg.dataset}/model/latest_{run}")
                 with metrics.phase("eval"):
@@ -327,7 +349,7 @@ def run_experiment(cfg: ExperimentConfig, logger=None) -> Dict:
                 logger.info("eval: %s (T_test %.2f)", results, d_inf)
                 if rlog.add_result(run, results):
                     save_checkpoint(
-                        {"params": params, "epoch": np.asarray(epoch)},
+                        {"params": params, "epoch": np.asarray(last)},
                         f"{cfg.log_dir}/{cfg.dataset}/model/"
                         f"{stamp}_{run}")
                     break

@@ -52,6 +52,36 @@ def test_run_experiment_link(tmp_path):
     assert 0.0 <= valid <= 1.0 and 0.0 <= test <= 1.0
 
 
+def test_device_engine_batches_epochs_per_eval_block(tmp_path,
+                                                     monkeypatch):
+    """The flagship CLI must dispatch ONE device program per inter-eval
+    block (VERDICT r4 item 5): eval_steps=2 over 5 epochs = blocks of
+    1+2+2 epochs = 3 fit dispatches, with evals after epochs 0, 2, 4 —
+    the exact cadence of the former per-epoch loop."""
+    from surel_plus_tpu.cli.main import run_experiment
+    from surel_plus_tpu.train.device import DeviceTrainer
+
+    calls = []
+    orig_fit = DeviceTrainer.fit
+
+    def spy_fit(self, params, opt_state, edges_dev, labels_dev, key,
+                n_epochs):
+        calls.append(n_epochs)
+        return orig_fit(self, params, opt_state, edges_dev, labels_dev,
+                        key, n_epochs)
+
+    monkeypatch.setattr(DeviceTrainer, "fit", spy_fit)
+    cfg = ExperimentConfig(
+        dataset="synth", metric="Hits@50", synth_nodes=300,
+        synth_edges=1500, num_walks=8, num_steps=3, batch_size=128,
+        epochs=5, eval_steps=2, runs=1, hidden_channels=16,
+        log_dir=str(tmp_path), early_stop=-1, engine="device")
+    out = run_experiment(cfg)
+    assert calls == [1, 2, 2], calls
+    (valid, test) = out["best"][0]
+    assert 0.0 <= valid <= 1.0 and 0.0 <= test <= 1.0
+
+
 def test_run_experiment_ppr_path(tmp_path):
     from surel_plus_tpu.cli.main import run_experiment
 
