@@ -90,16 +90,71 @@ def build(name: str, negs: int, out_dir: str, check_positives: bool = True):
           f"({os.path.getsize(path)/1e6:.1f} MB)")
 
 
+def _rmat_pairs(num_nodes, n_draws, rng, a=0.57, b=0.19, c=0.19):
+    """Directed R-MAT pairs (unique, no self loops)."""
+    scale = max(1, int(np.ceil(np.log2(max(num_nodes, 2)))))
+    src = np.zeros(n_draws, dtype=np.int64)
+    dst = np.zeros(n_draws, dtype=np.int64)
+    pa, pb, pc = a, a + b, a + b + c
+    for _ in range(scale):
+        r = rng.random(n_draws)
+        src <<= 1
+        dst <<= 1
+        dst |= ((r >= pa) & (r < pb)) | (r >= pc)
+        src |= (r >= pb)
+    src %= num_nodes
+    dst %= num_nodes
+    keep = src != dst
+    key = src[keep] * num_nodes + dst[keep]
+    key = np.unique(key)
+    key = key[rng.permutation(len(key))]
+    return key // num_nodes, key % num_nodes
+
+
+def build_cites(negs_per_source: int, out_dir: str):
+    """citation2-shaped MRR fixture: DIRECTED power-law graph, directed
+    train/valid/test splits, recorded per-source negatives [Ev, K]
+    (reference train.py:245-280 inference_mrr + utils.py:78-95
+    get_pos_neg_edges source_node layout)."""
+    n_nodes, n_draws = 20_000, 240_000
+    rng = np.random.default_rng(SEED + 1)
+    src, dst = _rmat_pairs(n_nodes, n_draws, rng)
+    E = len(src)
+    n_val = n_test = int(E * 0.04)
+    test_s, test_d = src[:n_test], dst[:n_test]
+    val_s, val_d = src[n_test:n_test + n_val], dst[n_test:n_test + n_val]
+    tr_s, tr_d = src[n_test + n_val:], dst[n_test + n_val:]
+    val_neg = rng.integers(0, n_nodes, size=(n_val, negs_per_source))
+    test_neg = rng.integers(0, n_nodes, size=(n_test, negs_per_source))
+    path = os.path.join(out_dir, "cites_fixture.npz")
+    np.savez_compressed(
+        path,
+        num_nodes=np.int64(n_nodes),
+        train_src=tr_s.astype(np.int32), train_dst=tr_d.astype(np.int32),
+        valid_src=val_s.astype(np.int32), valid_dst=val_d.astype(np.int32),
+        valid_neg=val_neg.astype(np.int32),
+        test_src=test_s.astype(np.int32), test_dst=test_d.astype(np.int32),
+        test_neg=test_neg.astype(np.int32),
+    )
+    print(f"wrote {path}: N={n_nodes} train={len(tr_s)} val={n_val} "
+          f"test={n_test} negs/src={negs_per_source} "
+          f"({os.path.getsize(path)/1e6:.1f} MB)")
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--names", default="collab,collabs")
+    p.add_argument("--names", default="collab,collabs,cites")
     p.add_argument("--negs", type=int, default=100_000)
+    p.add_argument("--negs_per_source", type=int, default=50)
     args = p.parse_args()
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "surel_plus_tpu", "data", "fixtures")
     os.makedirs(out, exist_ok=True)
     for name in args.names.split(","):
-        build(name, args.negs, out)
+        if name == "cites":
+            build_cites(args.negs_per_source, out)
+        else:
+            build(name, args.negs, out)
 
 
 if __name__ == "__main__":

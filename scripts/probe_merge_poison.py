@@ -33,7 +33,12 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp  # noqa: E402
 
-from surel_plus_tpu.ops.merge_net import merge_pairs_xla  # noqa: E402
+# MERGE_IMPL=rot|xor selects the network wiring (default rot); join
+# cases forward it via SUREL_MERGE_NET so the r5 xor reformulation
+# can run the same bisect matrix
+MERGE_IMPL = os.environ.get("MERGE_IMPL", "rot")
+from surel_plus_tpu.ops.merge_net import MERGE_FNS  # noqa: E402
+merge_pairs_xla = MERGE_FNS[MERGE_IMPL]  # noqa: N816
 
 
 def operands(b=4096, l=301, seed=0):
@@ -106,7 +111,7 @@ def run_case(case: str, execs: int) -> None:
 
         f = jax.jit(g)
     elif case in ("join_only", "join_scan", "join_scan2", "with_sort"):
-        os.environ["SUREL_MERGE_NET"] = "1"
+        os.environ["SUREL_MERGE_NET"] = MERGE_IMPL
         from surel_plus_tpu.graph.synthetic import rmat_graph
         from surel_plus_tpu.ops.join import make_keys_join
         from surel_plus_tpu.ops.sampler import sample_gsets_device_keys
@@ -190,7 +195,7 @@ def run_case(case: str, execs: int) -> None:
         print("case passed", flush=True)
         return
     elif case == "join_step":
-        os.environ["SUREL_MERGE_NET"] = "1"
+        os.environ["SUREL_MERGE_NET"] = MERGE_IMPL
         import subprocess
         r = subprocess.run(
             [sys.executable, "scripts/probe_fused_ab.py", "mean:1"],

@@ -442,7 +442,6 @@ def run(cfg: ExperimentConfig) -> ResultLogger:
                      "(%.1fs)", run_i + 1, epoch, tot_loss / tot_n, auc,
                      time.time() - t1)
             if epoch % cfg.eval_steps == 0:
-                results = {}
                 pv = predict_split(model, val_edge[0], Z, zpe,
                                    cfg.batch_size)
                 nv = predict_split(model, val_edge[1], Z, zpe,
@@ -451,10 +450,24 @@ def run(cfg: ExperimentConfig) -> ResultLogger:
                                    cfg.batch_size)
                 nt = predict_split(model, test_edge[1], Z, zpe,
                                    cfg.batch_size)
-                for k in (10, 20, 50, 100):
-                    results[f"Hits@{k}"] = (
-                        0, metrics_ops.hits_at_k(pv, nv, k),
-                        metrics_ops.hits_at_k(pt, nt, k))
+                if "MRR" in cfg.metric:
+                    # inference_mrr semantics (reference train.py:
+                    # 245-280): per-source negatives, reshape [-1, k],
+                    # OGB mrr_list mean
+                    k_v = len(nv) // max(len(pv), 1)
+                    k_t = len(nt) // max(len(pt), 1)
+                    results = (
+                        0,
+                        metrics_ops.mrr(pv, nv[:len(pv) * k_v]
+                                        .reshape(-1, k_v)),
+                        metrics_ops.mrr(pt, nt[:len(pt) * k_t]
+                                        .reshape(-1, k_t)))
+                else:
+                    results = {}
+                    for k in (10, 20, 50, 100):
+                        results[f"Hits@{k}"] = (
+                            0, metrics_ops.hits_at_k(pv, nv, k),
+                            metrics_ops.hits_at_k(pt, nt, k))
                 log.info("eval: %s", results)
                 if rlog.add_result(run_i, results):
                     break

@@ -166,15 +166,16 @@ def _cross_lookup_bidir_multi(nodes_u, nodes_v, pays_u, pays_v,
     # neighbor (a u copy when hit) — the tag disambiguates, so nothing is
     # lost by sharing the operand. Sort cost scales with operand count:
     # this makes the lo-only merge a 2-operand sort.
-    from surel_plus_tpu.ops.merge_net import merge_enabled, merge_pairs_xla
+    from surel_plus_tpu.ops.merge_net import merge_enabled, merge_pairs
     from surel_plus_tpu.ops.pallas.bitonic_merge import (
         bitonic_enabled, bitonic_merge_pairs)
 
     if len(pays_u) == 1 and merge_enabled():
         # both halves are already sorted: the pure-XLA bitonic MERGE is
         # log2(n) compare-exchange stages vs lax.sort's ~log^2(n)/2,
-        # and the row sorts are stage-count bound (probe_roofline)
-        spk, sp0 = merge_pairs_xla(
+        # and the row sorts are stage-count bound (probe_roofline);
+        # SUREL_MERGE_NET selects the network wiring (rot | xor)
+        spk, sp0 = merge_pairs(
             (nodes_v.astype(jnp.uint32) << 1), pays_v[0],
             (nodes_u.astype(jnp.uint32) << 1) | 1, pays_u[0])
         sp = (sp0,)

@@ -9,12 +9,14 @@ lax.sort row sorts to be STAGE-COUNT bound (width-insensitive
 0.88-1.06 ms at [4096, 128..1024]), so a log-depth network attacks the
 per-stage overhead directly.
 
-This is the same algorithm as ops/pallas/bitonic_merge.py but in plain
-jnp ops (lane shifts via concat slices + selects) — no Mosaic, so it
-is immune to the tunneled-runtime poisoning that keeps the Pallas
-variant opt-in OFF (see that module's post-mortem). XLA fuses the
-compare/select elementwise chain per stage; each stage costs one
-read+write of the (key, payload) planes.
+Two wirings of the same network: `merge_pairs_xla` (rotate-compare-
+select over the full row) and `merge_pairs_xor` (r5: partners paired
+structurally via static reshapes — i <-> i XOR d on a size-2 axis).
+Both are plain jnp; XLA fuses each stage's elementwise chain into one
+read+write of the (key, payload) planes. The algorithm matches
+ops/pallas/bitonic_merge.py. (The long-standing "poisoning" that kept
+all of these opt-in OFF was a module-constant bug, not the network —
+see the r5 resolution note below.)
 
 Layout identical to the Pallas wrapper: [ascending a | descending b],
 power-of-two sentinel padding (real keys are (node << 1 | tag) with
@@ -27,40 +29,60 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-SENTINEL = jnp.uint32(0xFFFFFFFF)
+import numpy as np
 
-# Join merge impl switch: env SUREL_MERGE_NET=1 or FORCE_MERGE_NET —
-# opt-in OFF, exactly like the Pallas variant, because of the r4
-# hardware finding below.
-#
-# r4 ROOT-CAUSE ADVANCE (2026-08-19, v5e via the axon tunnel): this
-# PURE-XLA merge network reproduces the SAME runtime poisoning that
-# kept ops/pallas/bitonic_merge.py disabled — in a fresh process, the
-# fused-mean train program with SUREL_MERGE_NET=1 compiles, executes
-# its first fit successfully, then the SECOND execution fails with
-# `INVALID_ARGUMENT: TPU backend error` at the result pull
-# (probe_fused_ab mean:1; the identical process with =0 is stable; the
-# chip recovers for subsequent processes). There is NO Mosaic/Pallas
-# code on this path, so the r2/r3 attribution of the poison to the
-# Pallas kernel was wrong: the trigger is the log-depth
-# rotate-compare-select MERGE NETWORK pattern itself (large lane-shift
-# concat chains + data-dependent selects) interacting with the
-# runtime, not the kernel language. See scripts/probe_merge_poison.py
-# for the bisection harness and CLAUDE.md for the session protocol
-# (poison experiments LAST — a past debugging session took the relay
-# down for a day).
-FORCE_MERGE_NET: bool | None = None
+# A NUMPY scalar, deliberately NOT jnp.uint32(...): a module-level
+# device array captured by a traced function becomes an embedded
+# constant BUFFER of the compiled executable, and the second execution
+# of such a program through the C++ fastpath supplies one fewer buffer
+# than compiled ("Execution supplied 11 buffers but compiled program
+# expected 12") — reproducible on plain CPU jax (r5; see
+# tests/test_merge_net.py::test_merge_join_score_twice). This was the
+# r2-r4 "tunnel poisoning": first call ok, second INVALID_ARGUMENT.
+SENTINEL = np.uint32(0xFFFFFFFF)
+
+# Join merge impl switch: env SUREL_MERGE_NET or FORCE_MERGE_NET —
+#   "1"/"rot": the original rotate-compare-select network (below)
+#   "xor":     r5 reformulation — partner pairing via STATIC reshapes
+#              (i <-> i XOR d on the pair axis), no rotates, no
+#              lane-shift concat chains; built to dodge the r4 poison
+#              trigger, numerics identical (tests/test_merge_net.py)
+# r5 RESOLUTION of the r2-r4 "merge poisoning": the trigger was never
+# the merge network at all. SENTINEL was a module-level jnp.uint32 — a
+# DEVICE ARRAY — so every traced program that captured it gained an
+# embedded constant buffer, and the SECOND execution of such a program
+# dropped that buffer on the C++ fastpath: `INVALID_ARGUMENT:
+# Execution supplied 11 buffers but compiled program expected 12`.
+# Reproduced on plain CPU jax with no Pallas and no tunnel
+# (tests/test_merge_net.py::test_merge_join_score_twice), fixed by
+# making SENTINEL a numpy scalar. The r2/r3 attribution to the Pallas
+# kernel and the r4 attribution to the rotate-compare-select pattern
+# were both wrong — each rewrite changed the code around the same
+# poisoned constant. scripts/probe_merge_poison.py remains as the
+# hardware bisection harness; default-ON is gated on the r5 hardware
+# validation (two clean back-to-back bench runs).
+FORCE_MERGE_NET: "bool | str | None" = None
+
+
+def merge_impl() -> "str | None":
+    """None (disabled), 'rot', or 'xor'."""
+    import os
+
+    v = FORCE_MERGE_NET
+    if v is None:
+        v = os.environ.get("SUREL_MERGE_NET")
+    if v in (None, False, "", "0"):
+        return None
+    if v in (True, "1", "rot"):
+        return "rot"
+    if v == "xor":
+        return "xor"
+    raise ValueError(f"SUREL_MERGE_NET={v!r}: want '', '0', '1', "
+                     "'rot', or 'xor'")
 
 
 def merge_enabled() -> bool:
-    import os
-
-    if FORCE_MERGE_NET is not None:
-        return FORCE_MERGE_NET
-    env = os.environ.get("SUREL_MERGE_NET")
-    if env is not None:
-        return env == "1"
-    return False
+    return merge_impl() is not None
 
 
 def _next_pow2(x: int) -> int:
@@ -112,3 +134,56 @@ def merge_pairs_xla(keys_a: jax.Array, pay_a: jax.Array,
         p = jnp.where(take, jnp.where(low, pr, pl), p)
         d //= 2
     return k[:, :la + lb], p[:, :la + lb]
+
+
+def merge_pairs_xor(keys_a: jax.Array, pay_a: jax.Array,
+                    keys_b: jax.Array, pay_b: jax.Array):
+    """Same contract as `merge_pairs_xla`, different network wiring.
+
+    Batcher's bitonic-merge stage at distance d compares i with i+d for
+    every i whose d bit is clear — i.e. partners are i <-> i XOR d.
+    Instead of rotating the whole row (the r4 poison trigger:
+    lane-shift concat chains + data-dependent selects on the rotated
+    copies), pair the partners STRUCTURALLY: reshape the [B, n] row to
+    [B, n/(2d), 2, d] so the partner axis is a static size-2 dimension,
+    compare-exchange across it with one shared mask, and reshape back.
+    Every op is a static reshape/slice or an elementwise min-select —
+    no rotation, no wrapping reads, no per-stage concat of row tails.
+    """
+    b, la = keys_a.shape
+    lb = keys_b.shape[1]
+    s = _next_pow2(max(la, lb))
+    n = 2 * s
+
+    def padto(x, width, fill):
+        return jnp.pad(x, [(0, 0), (0, width - x.shape[1])],
+                       constant_values=fill)
+
+    # [ascending a | descending b] is bitonic; sentinels sort to the tail
+    k = jnp.concatenate(
+        [padto(keys_a, s, SENTINEL),
+         jnp.flip(padto(keys_b, s, SENTINEL), axis=1)], axis=1)
+    p = jnp.concatenate(
+        [padto(pay_a, s, 0), jnp.flip(padto(pay_b, s, 0), axis=1)],
+        axis=1)
+    d = n // 2
+    while d >= 1:
+        k4 = k.reshape(b, n // (2 * d), 2, d)
+        p4 = p.reshape(b, n // (2 * d), 2, d)
+        ka_, kb_ = k4[:, :, 0, :], k4[:, :, 1, :]
+        pa_, pb_ = p4[:, :, 0, :], p4[:, :, 1, :]
+        swap = ka_ > kb_
+        k = jnp.stack([jnp.where(swap, kb_, ka_),
+                       jnp.where(swap, ka_, kb_)], axis=2).reshape(b, n)
+        p = jnp.stack([jnp.where(swap, pb_, pa_),
+                       jnp.where(swap, pa_, pb_)], axis=2).reshape(b, n)
+        d //= 2
+    return k[:, :la + lb], p[:, :la + lb]
+
+
+MERGE_FNS = {"rot": merge_pairs_xla, "xor": merge_pairs_xor}
+
+
+def merge_pairs(keys_a, pay_a, keys_b, pay_b, impl: "str | None" = None):
+    """Dispatch to the selected merge network (default: merge_impl())."""
+    return MERGE_FNS[impl or merge_impl()](keys_a, pay_a, keys_b, pay_b)

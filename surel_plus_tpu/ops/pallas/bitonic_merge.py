@@ -31,7 +31,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SENTINEL = jnp.uint32(0xFFFFFFFF)
+import numpy as np
+
+# numpy scalar, NOT jnp.uint32: a module-level device array traced into
+# a jitted program becomes an embedded constant buffer, and the second
+# execution of that program drops it ("supplied 11 buffers but expected
+# 12") — the actual root cause of the r2-r4 "merge poisoning"; see
+# ops/merge_net.py.
+SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 def _merge_kernel(n, k_ref, p_ref, ks_ref, ps_ref):

@@ -118,13 +118,25 @@ def ppr_topk(indptr: np.ndarray, indices: np.ndarray, seeds: np.ndarray,
 
 def topk_ppr_matrix(graph, alpha: float, eps: float, idx: np.ndarray,
                     topk: int, normalization: str = "row",
-                    nthreads: int = -1):
-    """Sparse [len(idx), N] CSR of top-k PPR scores (pprgo.py:83-111)."""
+                    nthreads: int = -1, method: str = "host"):
+    """Sparse [len(idx), N] CSR of top-k PPR scores (pprgo.py:83-111).
+
+    method='host' (default): C++/OpenMP push (numpy fallback).
+    method='device': TPU truncated power iteration (ops/ppr_device.py) —
+    eps-faithful, best for seed subsets; host push wins for all-N
+    precompute (see that module's docstring)."""
     import scipy.sparse as sp
 
-    nodes, scores, counts = ppr_topk(graph.indptr, graph.indices,
-                                     np.asarray(idx, np.int32), alpha, eps,
-                                     topk, nthreads)
+    if method == "device":
+        from surel_plus_tpu.ops.ppr_device import ppr_topk_device
+
+        nodes, scores, counts = ppr_topk_device(
+            graph.indptr, graph.indices, np.asarray(idx, np.int32),
+            alpha, eps, topk)
+    else:
+        nodes, scores, counts = ppr_topk(graph.indptr, graph.indices,
+                                         np.asarray(idx, np.int32), alpha,
+                                         eps, topk, nthreads)
     n = graph.num_nodes
     rows = np.repeat(np.arange(len(idx)), counts)
     valid = np.arange(topk)[None, :] < counts[:, None]

@@ -79,7 +79,9 @@ def apply_dataset_overrides(cfg: ExperimentConfig) -> ExperimentConfig:
     elif "ppa" in name:
         cfg.metric = "Hits@100"
         cfg.alpha = 0.5
-    elif "citation" in name:
+    elif "citation" in name or "cites" in name:
+        # 'cites' = the citation2-shaped MRR fixture (scripts/
+        # make_fixture.py build_cites); same knobs as citation2
         cfg.metric = "MRR"
         cfg.alpha = 0.1
     elif "vessel" in name:

@@ -9,18 +9,16 @@ import pytest
 from surel_plus_tpu.graph.synthetic import rmat_graph
 from surel_plus_tpu.ops import merge_net
 from surel_plus_tpu.ops.join import make_keys_hjoin, make_keys_join
-from surel_plus_tpu.ops.merge_net import merge_pairs_xla
+from surel_plus_tpu.ops.merge_net import merge_pairs_xla, merge_pairs_xor
 from surel_plus_tpu.ops.sampler import sample_gsets_device_keys
 
 
-def test_merge_pairs_matches_lax_sort():
+@pytest.mark.parametrize("merge_fn", [merge_pairs_xla, merge_pairs_xor])
+def test_merge_pairs_matches_lax_sort(merge_fn):
     rng = np.random.default_rng(0)
     for (b, la, lb) in ((16, 301, 301), (8, 7, 19), (4, 128, 64)):
         # unique keys per side (the join's rows are unique), tag split
-        ka = np.sort(rng.choice(1 << 20, (b, la), replace=False
-                                if la <= 1 << 20 else True, axis=-1)
-                     if False else
-                     np.stack([rng.choice(1 << 20, la, replace=False)
+        ka = np.sort(np.stack([rng.choice(1 << 20, la, replace=False)
                                for _ in range(b)]), axis=1)
         kb = np.sort(np.stack([rng.choice(1 << 20, lb, replace=False)
                                for _ in range(b)]), axis=1)
@@ -28,8 +26,8 @@ def test_merge_pairs_matches_lax_sort():
         kb = (kb.astype(np.uint32) << 1) | 1
         pa = rng.integers(0, 1 << 31, (b, la)).astype(np.uint32)
         pb = rng.integers(0, 1 << 31, (b, lb)).astype(np.uint32)
-        mk, mp = merge_pairs_xla(jnp.asarray(ka), jnp.asarray(pa),
-                                 jnp.asarray(kb), jnp.asarray(pb))
+        mk, mp = merge_fn(jnp.asarray(ka), jnp.asarray(pa),
+                          jnp.asarray(kb), jnp.asarray(pb))
         rk, rp = jax.lax.sort(
             (jnp.concatenate([ka, kb], axis=1),
              jnp.concatenate([pa, pb], axis=1)), num_keys=1)
@@ -66,7 +64,35 @@ def _joined_cmp(j0, j1):
                                       np.where(sel, k1, 0))
 
 
-def test_join_parity_link_and_hyper(spgk, monkeypatch):
+@pytest.mark.parametrize("impl", ["rot", "xor"])
+def test_merge_join_score_twice(spgk, monkeypatch, impl):
+    """Regression: the SECOND execution of a merge-enabled compiled
+    program must not fail. With SENTINEL as a module-level jnp.uint32
+    (a device array), the traced pad constant became an embedded buffer
+    of the executable and the second call's fastpath dropped it:
+    'Execution supplied 11 buffers but compiled program expected 12'
+    on plain CPU — the true root cause of the r2-r4 'tunnel poisoning'
+    (misattributed first to Pallas, then to the rotate-compare-select
+    pattern)."""
+    from surel_plus_tpu.models import Net
+    from surel_plus_tpu.train.device import TrainConfig, trainer_from_keys
+
+    monkeypatch.setattr(merge_net, "FORCE_MERGE_NET", impl)
+    model = Net(input_dim=3, hidden_dim=16, aggrs="mean",
+                dtype="bfloat16")
+    t = trainer_from_keys(
+        model, spgk, TrainConfig(batch_size=32, lr=1e-3, epochs=1,
+                                 eval_steps=1, early_stop=-1, seed=0))
+    rng = np.random.default_rng(0)
+    edges = rng.integers(0, 400, (2, 64)).astype(np.int32)
+    params, _ = t.init(jax.random.PRNGKey(0), edges[:, :32])
+    s1 = np.asarray(t.predict(params, edges))
+    s2 = np.asarray(t.predict(params, edges))   # second exec, same program
+    np.testing.assert_array_equal(s1, s2)
+
+
+@pytest.mark.parametrize("impl", ["rot", "xor"])
+def test_join_parity_link_and_hyper(spgk, monkeypatch, impl):
     rng = np.random.default_rng(1)
     edges = jnp.asarray(rng.integers(0, 400, (2, 32)).astype(np.int32))
     hedges = jnp.asarray(rng.integers(0, 400, (3, 32)).astype(np.int32))
@@ -76,7 +102,7 @@ def test_join_parity_link_and_hyper(spgk, monkeypatch):
 
     j0 = join(*args, edges)
     hj0 = hjoin(*args, hedges)
-    monkeypatch.setattr(merge_net, "FORCE_MERGE_NET", True)
+    monkeypatch.setattr(merge_net, "FORCE_MERGE_NET", impl)
     j1 = join(*args, edges)
     hj1 = hjoin(*args, hedges)
     _joined_cmp(j0, j1)

@@ -47,6 +47,49 @@ def test_ppr_matches_exact():
         assert np.all(np.diff(sc) <= 1e-9)
 
 
+def test_ppr_device_matches_exact_and_host():
+    """Device truncated power iteration (ops/ppr_device.py): scores match
+    the dense fixed point AND the C++ push within the truncation
+    tolerance, on both a structured and a power-law graph."""
+    from surel_plus_tpu.ops.ppr_device import ppr_topk_device
+
+    for g, check_exact in ((ring_of_cliques(4, 5), True),
+                           (rmat_graph(300, 2400, seed=7), False)):
+        # _exact_ppr binarizes the adjacency, so it is only comparable
+        # on multi-edge-free graphs; rmat rows are checked vs the push
+        # (which, like the device path, honors edge multiplicity)
+        seeds = np.array([0, 7, g.num_nodes - 1], dtype=np.int32)
+        alpha, eps, topk = 0.15, 1e-6, 20
+        dn, ds, dc = ppr_topk_device(g.indptr, g.indices, seeds, alpha,
+                                     eps, topk, block=2)
+        hn, hs, hc = ppr_topk(g.indptr, g.indices, seeds, alpha, eps,
+                              topk)
+        for i, s in enumerate(seeds):
+            got = np.zeros(g.num_nodes)
+            got[dn[i, :dc[i]]] = ds[i, :dc[i]]
+            if check_exact:
+                exact = _exact_ppr(g, s, alpha)
+                assert np.abs(got - exact).max() < 5e-4
+            host = np.zeros(g.num_nodes)
+            host[hn[i, :hc[i]]] = hs[i, :hc[i]]
+            assert np.abs(got - host).max() < 5e-4
+            sc = ds[i, :dc[i]]
+            assert np.all(np.diff(sc) <= 1e-9)
+
+
+def test_topk_ppr_matrix_device_method():
+    g = ring_of_cliques(3, 6)
+    idx = np.arange(g.num_nodes)
+    md = topk_ppr_matrix(g, 0.2, 1e-5, idx, 10, normalization="sym",
+                         method="device").toarray()
+    mh = topk_ppr_matrix(g, 0.2, 1e-5, idx, 10,
+                         normalization="sym").toarray()
+    # same sparsity pattern up to eps-truncation; values within tolerance
+    both = (md > 0) & (mh > 0)
+    assert both.sum() >= 0.9 * max((mh > 0).sum(), 1)
+    assert np.abs(md[both] - mh[both]).max() < 5e-4
+
+
 def test_ppr_topk_truncation():
     g = rmat_graph(300, 2000, seed=0)
     seeds = np.arange(20, dtype=np.int32)
