@@ -141,9 +141,47 @@ def build_cites(negs_per_source: int, out_dir: str):
           f"({os.path.getsize(path)/1e6:.1f} MB)")
 
 
+def build_tags(negs_per_triplet: int, out_dir: str):
+    """tags-math-shaped hypergraph fixture: power-law tag popularity,
+    3-node hyperedges, pairwise projection encoder graph, recorded
+    random-node negatives per eval triplet (reference
+    dataloader.py:241-296 DE_Hyper_Dataset + make_edge_split seed-2021
+    semantics, including the randint(tuples.max()) quirk)."""
+    from surel_plus_tpu.graph.datasets import DEHyperDataset
+
+    n_nodes, n_triplets = 5_000, 40_000
+    rng = np.random.default_rng(SEED + 2)
+    # Zipf-ish popularity: tag frequency ~ rank^-0.9 like SO tags
+    pop = (np.arange(1, n_nodes + 1) ** -0.9)
+    pop /= pop.sum()
+    tri = rng.choice(n_nodes, size=(int(n_triplets * 1.3), 3), p=pop)
+    tri = tri[(tri[:, 0] != tri[:, 1]) & (tri[:, 1] != tri[:, 2])
+              & (tri[:, 0] != tri[:, 2])][:n_triplets]
+    split = DEHyperDataset.make_edge_split(tri, ratio=0.6,
+                                           k=negs_per_triplet, seed=2021)
+    edges = np.concatenate([tri[:, [0, 1]], tri[:, [1, 2]],
+                            tri[:, [0, 2]]])
+    path = os.path.join(out_dir, "tags_fixture.npz")
+    np.savez_compressed(
+        path,
+        num_nodes=np.int64(n_nodes),
+        edge_index=edges.astype(np.int32),
+        train_hedge=split["train"]["hedge"].astype(np.int32),
+        valid_hedge=split["valid"]["hedge"].astype(np.int32),
+        valid_neg=split["valid"]["hedge_neg"].astype(np.int32),
+        test_hedge=split["test"]["hedge"].astype(np.int32),
+        test_neg=split["test"]["hedge_neg"].astype(np.int32),
+    )
+    print(f"wrote {path}: N={n_nodes} train={len(split['train']['hedge'])} "
+          f"val={len(split['valid']['hedge'])} "
+          f"test={len(split['test']['hedge'])} "
+          f"negs/triplet={negs_per_triplet} "
+          f"({os.path.getsize(path)/1e6:.1f} MB)")
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--names", default="collab,collabs,cites")
+    p.add_argument("--names", default="collab,collabs,cites,tags")
     p.add_argument("--negs", type=int, default=100_000)
     p.add_argument("--negs_per_source", type=int, default=50)
     args = p.parse_args()
@@ -153,6 +191,8 @@ def main():
     for name in args.names.split(","):
         if name == "cites":
             build_cites(args.negs_per_source, out)
+        elif name == "tags":
+            build_tags(args.negs_per_source, out)
         else:
             build(name, args.negs, out)
 
