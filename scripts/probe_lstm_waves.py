@@ -110,7 +110,7 @@ def timeit(label, fn, *args):
 # variant kernel: waves + optional cheap activations + optional dynamic
 # loop bound (tmax scalar per tile). Mirrors LK._klstm_t_fwd_kernel.
 
-def _var_fwd_kernel(ell, shift, waves, cheap, dyn, *refs):
+def _var_fwd_kernel(ell, shift, waves, cheap, dyn, noz, justz, *refs):
     if dyn:
         tmax_ref, *refs = refs
     (ko_ref, kc_ref, mk_ref, u_ref, wi_ref, wh_ref, bh_ref,
@@ -128,11 +128,29 @@ def _var_fwd_kernel(ell, shift, waves, cheap, dyn, *refs):
            else jax.nn.sigmoid)
     tnh = ((lambda v: jnp.clip(v, -1.0, 1.0)) if cheap else jnp.tanh)
 
+    if justz:
+        # ONLY the per-step key->hidden recompute, no recurrence math
+        def stepz(t, acc):
+            (_, zo), (_, zc) = LK._kt_z(ko_ref, kc_ref, None, None,
+                                        mk_ref, u2, shift, t)
+            return acc + jnp.maximum(zo, 0.0) + jnp.maximum(zc, 0.0)
+
+        acc = jax.lax.fori_loop(0, ell, stepz,
+                                jnp.zeros((tb, hdp), jnp.float32))
+        out_ref[:] = acc[:, :out_ref.shape[1]]
+        return
+
     def step(t, carry):
-        (zo0, zc0) = LK._kt_z(ko_ref, kc_ref, None, None, mk_ref,
-                              u2, shift, t)
-        zo, zc = zo0[1], zc0[1]
-        xt = jnp.maximum(zo, 0.0) + jnp.maximum(zc, 0.0)
+        if noz:
+            # recurrence math only: xt = a loop-dependent constant row
+            xt = jnp.full((tb, hdp), 0.1, jnp.float32) \
+                + jax.lax.broadcast(t.astype(jnp.float32) * 1e-6,
+                                    (tb, hdp))
+        else:
+            (zo0, zc0) = LK._kt_z(ko_ref, kc_ref, None, None, mk_ref,
+                                  u2, shift, t)
+            zo, zc = zo0[1], zc0[1]
+            xt = jnp.maximum(zo, 0.0) + jnp.maximum(zc, 0.0)
         new = []
         for k in range(waves):
             c, hid = carry[k]
@@ -155,14 +173,14 @@ def _var_fwd_kernel(ell, shift, waves, cheap, dyn, *refs):
 
     zero = jnp.zeros((tbw, hh), jnp.float32)
     init = tuple((zero, zero) for _ in range(waves))
-    bound = tmax_ref[0] if dyn else ell
+    bound = tmax_ref[0, 0] if dyn else ell
     out = jax.lax.fori_loop(0, bound, step, init)
     for k in range(waves):
         out_ref[k * tbw:(k + 1) * tbw] = out[k][1]
 
 
 def var_fwd(kown, kc, mask, u_ext, wi, wh, bh, sizes, tb=512, waves=1,
-            cheap=False, dyn=False):
+            cheap=False, dyn=False, noz=False, justz=False):
     b2 = Q * B
     ell = L
     nbx, hd = u_ext.shape
@@ -193,12 +211,12 @@ def var_fwd(kown, kc, mask, u_ext, wi, wh, bh, sizes, tb=512, waves=1,
     if dyn:
         # per-tile max valid step (host-computed, passed in as `sizes`
         # = tmax [bp // tb] when dyn)
-        ins = [pl.BlockSpec((1,), lambda i: (i,),
+        ins = [pl.BlockSpec((1, 1), lambda i: (i, 0),
                             memory_space=pltpu.SMEM)] + ins
-        args = [sizes] + args
+        args = [sizes.reshape(-1, 1)] + args
     return pl.pallas_call(
         functools.partial(_var_fwd_kernel, ellp, SHIFT, waves, cheap,
-                          dyn),
+                          dyn, noz, justz),
         grid=(bp // tb,),
         in_specs=ins,
         out_specs=pl.BlockSpec((tb, hh), lambda i: (i, 0),
@@ -226,6 +244,8 @@ def main():
                      ("waves2", dict(waves=2)),
                      ("waves4", dict(waves=4)),
                      ("cheapact", dict(cheap=True)),
+                     ("noz", dict(noz=True)),
+                     ("justz", dict(justz=True)),
                      ("dynbound", dict(dyn=True))):
         if name not in which and not (name == "waves1"
                                       and "base" in which):

@@ -65,18 +65,26 @@ FORCE_MERGE_NET: "bool | str | None" = None
 
 
 def merge_impl() -> "str | None":
-    """None (disabled), 'rot', or 'xor'."""
+    """'xor' (default ON since r5), 'rot', or None (disabled).
+
+    r5 hardware numbers (v5e, [4096, 301+301] 2-operand row merge):
+    lax.sort 1.785 ms, rot 1.751 ms, xor 1.289 ms — the rotate wiring's
+    per-stage cost (lane-rotate concat chains) eats its stage-count
+    advantage; the static-reshape xor wiring keeps it (x1.38 over the
+    sort). Default ON after the poison root-cause fix (SENTINEL note
+    below) passed repeated-execution probes and back-to-back bench runs;
+    SUREL_MERGE_NET=0 restores the lax.sort merge."""
     import os
 
     v = FORCE_MERGE_NET
     if v is None:
         v = os.environ.get("SUREL_MERGE_NET")
-    if v in (None, False, "", "0"):
+    if v in (None, "", "xor"):
+        return "xor"
+    if v in (False, "0"):
         return None
     if v in (True, "1", "rot"):
         return "rot"
-    if v == "xor":
-        return "xor"
     raise ValueError(f"SUREL_MERGE_NET={v!r}: want '', '0', '1', "
                      "'rot', or 'xor'")
 

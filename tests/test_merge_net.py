@@ -100,6 +100,7 @@ def test_join_parity_link_and_hyper(spgk, monkeypatch, impl):
     hjoin = make_keys_hjoin(8, 3)
     args = (spgk.nodes, spgk.khi, spgk.klo, spgk.sizes)
 
+    monkeypatch.setattr(merge_net, "FORCE_MERGE_NET", False)  # lax.sort
     j0 = join(*args, edges)
     hj0 = hjoin(*args, hedges)
     monkeypatch.setattr(merge_net, "FORCE_MERGE_NET", impl)
