@@ -814,6 +814,494 @@ def _klstmt_bwd(tb, tb_bwd, ellp, chunk, shift, interpret, waves, res,
 _klstmt.defvjp(_klstmt_fwd, _klstmt_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Second-generation transposed keys-LSTM ("t2"): chunked field
+# extraction + fully transposed recurrence state + early-exit chunks.
+#
+# r5 decomposition (scripts/probe_lstm_waves.py on v5e, [2,4096,301]):
+# the per-step key->hidden recompute (`justz`) alone costs 5.64 ms of
+# the 12.8 ms forward — NOT the "~2%" its FLOP share suggests, because
+# every _kt_z step operates on [1, tb] single-SUBLANE rows (1/8 VPU
+# width) and issues per-step dynamic slices; and the cheap-activation
+# probe showed transcendentals are NOT the bound. t2 therefore:
+#   * extracts the bit-fields for a CHUNK of cs steps at once on
+#     [cs, tb] sublane-dense planes into a [cs, nbxe, tb] VMEM scratch
+#     (8x the VPU width of the per-step form),
+#   * keeps the whole recurrence TRANSPOSED ([hh, tb]: hidden on
+#     sublanes, rows on lanes) so the per-step z is one
+#     [hdp, nbxe] x [nbxe, tb] matmul with no [*, 128-pad] hdp-lane
+#     waste, and gate elementwise runs on fully-packed [4hh, tb] tiles,
+#   * sorts rows by valid size (caller-side, inside jit) and skips
+#     whole chunks past each tile's max valid step via an SMEM bound —
+#     recovering the ~40% masked-tail work of skewed set-size batches.
+
+def _t2_extract(k_c, root_c, mk_c, shift, ncol, bes_ref):
+    """Chunked _be2_of: write [cs, nbxe, tb] field planes for keys
+    k_c [cs, tb]. Row order matches _fields_ext + mask row: ncol-1
+    shift-fields (or ncol with in-key root), root, invalid, ones,
+    mask."""
+    cs, tb = k_c.shape
+    f32 = jnp.float32
+    r = 0
+    nf = ncol if root_c is None else ncol - 1
+    for j in range(nf):
+        fm = jnp.uint32(1) if (root_c is None and j == ncol - 1) \
+            else jnp.uint32((1 << shift) - 1)
+        val = ((k_c >> jnp.uint32(j * shift)) & fm).astype(
+            jnp.int32).astype(f32)
+        bes_ref[:, r, :] = val
+        r += 1
+    if root_c is not None:
+        bes_ref[:, r, :] = root_c.astype(f32)
+        r += 1
+    bes_ref[:, r, :] = jnp.zeros((cs, tb), f32)          # invalid
+    bes_ref[:, r + 1, :] = jnp.ones((cs, tb), f32)       # always-one
+    bes_ref[:, r + 2, :] = mk_c.astype(f32)              # slot-valid
+
+
+def _t2_gates(u2t, wit, wht, bht, beo_j, bec_j, hT, cT):
+    """One transposed step: returns (xtT, gi, gf, gg, go, keep, ncT,
+    nhT)."""
+    hh = wht.shape[1]
+    zo = jnp.dot(u2t, beo_j, preferred_element_type=jnp.float32)
+    zc = jnp.dot(u2t, bec_j, preferred_element_type=jnp.float32)
+    xtT = jnp.maximum(zo, 0.0) + jnp.maximum(zc, 0.0)    # [hdp, tb]
+    gates = (jnp.dot(wit, xtT, preferred_element_type=jnp.float32)
+             + jnp.dot(wht, hT, preferred_element_type=jnp.float32)
+             + bht)
+    gi = jax.nn.sigmoid(gates[:hh])
+    gf = jax.nn.sigmoid(gates[hh:2 * hh])
+    gg = jnp.tanh(gates[2 * hh:3 * hh])
+    go = jax.nn.sigmoid(gates[3 * hh:])
+    keep = xtT[-1:, :] > 0                                # [1, tb]
+    ncT = gf * cT + gi * gg
+    nhT = go * jnp.tanh(ncT)
+    return zo, zc, xtT, gi, gf, gg, go, keep, ncT, nhT
+
+
+def _klstm_t2_fwd_kernel(ell, cs, shift, has_root, ncol, *refs):
+    (tmax_ref, ko_ref, kc_ref, *rest) = refs
+    if has_root:
+        ro_ref, rc_ref, *rest = rest
+    else:
+        ro_ref = rc_ref = None
+    (mk_ref, u2t_ref, wit_ref, wht_ref, bht_ref, out_ref,
+     beso_ref, besc_ref, cst_ref, hst_ref) = rest
+    tb = ko_ref.shape[1]
+    hh = wht_ref.shape[1]
+    u2t = u2t_ref[:]
+    wit = wit_ref[:]
+    wht = wht_ref[:]
+    bht = bht_ref[:]
+    pid = pl.program_id(0)
+    tmax = tmax_ref[pid]
+    cst_ref[:] = jnp.zeros_like(cst_ref)
+    hst_ref[:] = jnp.zeros_like(hst_ref)
+    nch = ell // cs
+
+    for ci in range(nch):
+        @pl.when(ci * cs < tmax)
+        def _(ci=ci):
+            c0 = ci * cs
+            _t2_extract(ko_ref[pl.ds(c0, cs), :],
+                        None if ro_ref is None
+                        else ro_ref[pl.ds(c0, cs), :],
+                        mk_ref[pl.ds(c0, cs), :], shift, ncol, beso_ref)
+            _t2_extract(kc_ref[pl.ds(c0, cs), :],
+                        None if rc_ref is None
+                        else rc_ref[pl.ds(c0, cs), :],
+                        mk_ref[pl.ds(c0, cs), :], shift, ncol, besc_ref)
+
+            def step(j, carry):
+                cT, hT = carry
+                beo_j = beso_ref[pl.ds(j, 1)].reshape(
+                    beso_ref.shape[1], beso_ref.shape[2])
+                bec_j = besc_ref[pl.ds(j, 1)].reshape(
+                    besc_ref.shape[1], besc_ref.shape[2])
+                *_, keep, ncT, nhT = _t2_gates(u2t, wit, wht, bht,
+                                               beo_j, bec_j, hT, cT)
+                return (jnp.where(keep, ncT, cT),
+                        jnp.where(keep, nhT, hT))
+
+            cT, hT = jax.lax.fori_loop(0, cs, step,
+                                       (cst_ref[:], hst_ref[:]))
+            cst_ref[:] = cT
+            hst_ref[:] = hT
+
+    out_ref[:] = hst_ref[:]
+
+
+def _klstm_t2_bwd_kernel(ell, cs, shift, has_root, ncol, *refs):
+    (tmax_ref, ko_ref, kc_ref, *rest) = refs
+    if has_root:
+        ro_ref, rc_ref, *rest = rest
+    else:
+        ro_ref = rc_ref = None
+    (mk_ref, u2t_ref, wit_ref, wht_ref, bht_ref, g_ref,
+     du_ref, dwi_ref, dwh_ref, dbh_ref,
+     beso_ref, besc_ref, bc_ref, bhh_ref, sc_ref, shp_ref,
+     cst_ref, hst_ref, dua_ref, dwia_ref, dwha_ref, dbha_ref) = rest
+    pid = pl.program_id(0)
+    tb = ko_ref.shape[1]
+    hh = wht_ref.shape[1]
+    nch = ell // cs
+    u2t = u2t_ref[:]
+    wit = wit_ref[:]
+    wht = wht_ref[:]
+    bht = bht_ref[:]
+    tmax = tmax_ref[pid]
+
+    def extract_chunk(ci):
+        c0 = ci * cs
+        _t2_extract(ko_ref[pl.ds(c0, cs), :],
+                    None if ro_ref is None
+                    else ro_ref[pl.ds(c0, cs), :],
+                    mk_ref[pl.ds(c0, cs), :], shift, ncol, beso_ref)
+        _t2_extract(kc_ref[pl.ds(c0, cs), :],
+                    None if rc_ref is None
+                    else rc_ref[pl.ds(c0, cs), :],
+                    mk_ref[pl.ds(c0, cs), :], shift, ncol, besc_ref)
+
+    def be_at(ref, j):
+        return ref[pl.ds(j, 1)].reshape(ref.shape[1], ref.shape[2])
+
+    def fstep(j, carry):
+        cT, hT = carry
+        *_, keep, ncT, nhT = _t2_gates(u2t, wit, wht, bht,
+                                       be_at(beso_ref, j),
+                                       be_at(besc_ref, j), hT, cT)
+        return (jnp.where(keep, ncT, cT), jnp.where(keep, nhT, hT))
+
+    # phase 1: forward, chunk-boundary carries only; state lives in
+    # scratch so skipped chunks (past this tile's max valid step) do
+    # no work at all
+    cst_ref[:] = jnp.zeros_like(cst_ref)
+    hst_ref[:] = jnp.zeros_like(hst_ref)
+    for ci in range(nch):
+        bc_ref[ci] = cst_ref[:]
+        bhh_ref[ci] = hst_ref[:]
+
+        @pl.when(ci * cs < tmax)
+        def _(ci=ci):
+            extract_chunk(ci)
+            cT, hT = jax.lax.fori_loop(0, cs, fstep,
+                                       (cst_ref[:], hst_ref[:]))
+            cst_ref[:] = cT
+            hst_ref[:] = hT
+
+    # phase 2: reverse chunks; (dc, dh) ride the cst/hst scratch, grad
+    # accumulators ride their own scratch
+    cst_ref[:] = jnp.zeros_like(cst_ref)          # dc
+    hst_ref[:] = g_ref[:]                         # dh
+    dua_ref[:] = jnp.zeros_like(dua_ref)
+    dwia_ref[:] = jnp.zeros_like(dwia_ref)
+    dwha_ref[:] = jnp.zeros_like(dwha_ref)
+    dbha_ref[:] = jnp.zeros_like(dbha_ref)
+    for ci in reversed(range(nch)):
+        @pl.when(ci * cs < tmax)
+        def _(ci=ci):
+            extract_chunk(ci)
+
+            def rstep(j, carry):
+                sc_ref[pl.ds(j, 1)] = carry[0][None]
+                shp_ref[pl.ds(j, 1)] = carry[1][None]
+                return fstep(j, carry)
+
+            jax.lax.fori_loop(0, cs, rstep, (bc_ref[ci], bhh_ref[ci]))
+
+            def bstep(jr, carry):
+                dc, dh, du_a, dwi_a, dwh_a, dbh_a = carry
+                j = cs - 1 - jr
+                cp = sc_ref[pl.ds(j, 1)].reshape(hh, tb)
+                hp = shp_ref[pl.ds(j, 1)].reshape(hh, tb)
+                beo_j = be_at(beso_ref, j)
+                bec_j = be_at(besc_ref, j)
+                zo, zc, xtT, gi, gf, gg, go, keep, ncT, _ = _t2_gates(
+                    u2t, wit, wht, bht, beo_j, bec_j, hp, cp)
+                tnc = jnp.tanh(ncT)
+                dgo = dh * tnc * go * (1.0 - go)
+                dnc = dc + dh * go * (1.0 - tnc * tnc)
+                dgi = dnc * gg * gi * (1.0 - gi)
+                dgf = dnc * cp * gf * (1.0 - gf)
+                dgg = dnc * gi * (1.0 - gg * gg)
+                dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=0)
+                dgates = jnp.where(keep, dgates, 0.0)    # [4hh, tb]
+                # contractions over tb (lanes of both operands)
+                cL = (((1,), (1,)), ((), ()))
+                dwi_a += jax.lax.dot_general(
+                    xtT, dgates, dimension_numbers=cL,
+                    preferred_element_type=jnp.float32)   # [hdp, 4hh]
+                dwh_a += jax.lax.dot_general(
+                    hp, dgates, dimension_numbers=cL,
+                    preferred_element_type=jnp.float32)   # [hh, 4hh]
+                dbh_a += dgates.sum(axis=1, keepdims=True)
+                # dxt = wit^T @ dgates (contract 4hh, dim 0 of both)
+                c0d = (((0,), (0,)), ((), ()))
+                dxt = jax.lax.dot_general(
+                    wit, dgates, dimension_numbers=c0d,
+                    preferred_element_type=jnp.float32)   # [hdp, tb]
+                dzo = jnp.where(zo > 0, dxt, 0.0)
+                dzc = jnp.where(zc > 0, dxt, 0.0)
+                du_a += (jax.lax.dot_general(
+                    beo_j, dzo, dimension_numbers=cL,
+                    preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(
+                        bec_j, dzc, dimension_numbers=cL,
+                        preferred_element_type=jnp.float32))
+                dhp = jax.lax.dot_general(
+                    wht, dgates, dimension_numbers=c0d,
+                    preferred_element_type=jnp.float32) \
+                    + jnp.where(keep, 0.0, dh)
+                dcp = jnp.where(keep, dnc * gf, dc)
+                return (dcp, dhp, du_a, dwi_a, dwh_a, dbh_a)
+
+            out = jax.lax.fori_loop(
+                0, cs, bstep,
+                (cst_ref[:], hst_ref[:], dua_ref[:], dwia_ref[:],
+                 dwha_ref[:], dbha_ref[:]))
+            cst_ref[:] = out[0]
+            hst_ref[:] = out[1]
+            dua_ref[:] = out[2]
+            dwia_ref[:] = out[3]
+            dwha_ref[:] = out[4]
+            dbha_ref[:] = out[5]
+
+    @pl.when(pid == 0)
+    def _():
+        du_ref[:] = jnp.zeros_like(du_ref)
+        dwi_ref[:] = jnp.zeros_like(dwi_ref)
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
+        dbh_ref[:] = jnp.zeros_like(dbh_ref)
+
+    du_ref[:] += dua_ref[:]
+    dwi_ref[:] += dwia_ref[:]
+    dwh_ref[:] += dwha_ref[:]
+    dbh_ref[:] += dbha_ref[:]
+
+
+def _lstm_from_keys_t2(kown, kcross_al, mask, u_ext, wi, wh, bh, shift,
+                       root_own, root_cross, interpret):
+    """t2 entry: size-sort rows (non-diff operands only), compute
+    per-tile max-valid-step bounds, run the transposed kernels, unsort.
+    Returns [Q, B, H] like the t1 path."""
+    q, b, ell = kown.shape
+    hh = wh.shape[0]
+    nbx, hd = u_ext.shape
+    b2 = q * b
+    has_root = root_own is not None
+    tb, tb_bwd, cs, cs_bwd, ellp = _pick_t2_tiles(
+        b2, ell, nbx + 1, hd + 1, hh, has_root)
+    bp = -(-b2 // tb) * tb
+
+    sizes = mask.reshape(b2, ell).sum(-1).astype(jnp.int32)
+    order = jnp.argsort(sizes)
+    inv = jnp.argsort(order)
+
+    def prep(a, fill=0):
+        a = a.reshape(b2, ell)[order]
+        if bp != b2 or ellp != ell:
+            a = jnp.pad(a, [(0, bp - b2), (0, ellp - ell)],
+                        constant_values=fill)
+        return a.T          # [ellp, bp]
+
+    ko = prep(kown)
+    kc = prep(kcross_al)
+    mk = prep(mask.astype(jnp.int32))
+    roots = None
+    if root_own is not None:
+        roots = (prep(root_own.astype(jnp.int32)),
+                 prep(root_cross.astype(jnp.int32)))
+    ssort = jnp.pad(sizes[order], (0, bp - b2))
+    tmax_f = ssort.reshape(bp // tb, tb).max(axis=1)
+    tmax_b = ssort.reshape(bp // tb_bwd, tb_bwd).max(axis=1)
+    u2 = jnp.pad(u_ext.astype(jnp.float32), [(0, 1), (0, 1)])
+    u2 = u2.at[nbx, hd].set(1.0)
+    wi2 = jnp.pad(wi.astype(jnp.float32), [(0, 1), (0, 0)])
+    out = _klstmt2(ko, kc, roots, mk, tmax_f, tmax_b, u2, wi2,
+                   (wh.astype(jnp.float32),
+                    bh.reshape(1, -1).astype(jnp.float32)),
+                   tb, tb_bwd, ellp, cs, cs_bwd, shift, interpret)
+    return out.T[:b2][inv].reshape(q, b, hh)
+
+
+def _t2_specs(tb, ellp, nbxe, hdp, hh, has_root):
+    blk = lambda shape, imap: pl.BlockSpec(shape, imap,
+                                           memory_space=pltpu.VMEM)
+    plane = lambda: blk((ellp, tb), lambda i: (0, i))
+    ins = [pl.BlockSpec(memory_space=pltpu.SMEM)]        # tmax [ngrid]
+    ins += [plane(), plane()]
+    if has_root:
+        ins += [plane(), plane()]
+    ins += [plane(),
+            blk((hdp, nbxe), lambda i: (0, 0)),          # u2t
+            blk((4 * hh, hdp), lambda i: (0, 0)),        # wit
+            blk((4 * hh, hh), lambda i: (0, 0)),         # wht
+            blk((4 * hh, 1), lambda i: (0, 0))]          # bht
+    return ins, blk
+
+
+def _klstm_t2_fwd_call(tmax, ko, kc, roots, mk, u2t, wit, wht, bht,
+                       tb, ellp, cs, shift, interpret):
+    bp = ko.shape[1]
+    hdp, nbxe = u2t.shape
+    hh = wht.shape[1]
+    ncol = nbxe - 3
+    ins, blk = _t2_specs(tb, ellp, nbxe, hdp, hh, roots is not None)
+    args = (tmax, ko, kc) + (roots or ()) + (mk, u2t, wit, wht, bht)
+    return pl.pallas_call(
+        functools.partial(_klstm_t2_fwd_kernel, ellp, cs, shift,
+                          roots is not None, ncol),
+        grid=(bp // tb,),
+        in_specs=ins,
+        out_specs=blk((hh, tb), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((hh, bp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((cs, nbxe, tb), jnp.float32),
+                        pltpu.VMEM((cs, nbxe, tb), jnp.float32),
+                        pltpu.VMEM((hh, tb), jnp.float32),
+                        pltpu.VMEM((hh, tb), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+
+
+def _klstm_t2_bwd_call(tmax, ko, kc, roots, mk, u2t, wit, wht, bht, g,
+                       tb, ellp, cs, shift, interpret):
+    bp = ko.shape[1]
+    hdp, nbxe = u2t.shape
+    hh = wht.shape[1]
+    ncol = nbxe - 3
+    nch = ellp // cs
+    ins, blk = _t2_specs(tb, ellp, nbxe, hdp, hh, roots is not None)
+    args = (tmax, ko, kc) + (roots or ()) + (mk, u2t, wit, wht, bht, g)
+    return pl.pallas_call(
+        functools.partial(_klstm_t2_bwd_kernel, ellp, cs, shift,
+                          roots is not None, ncol),
+        grid=(bp // tb,),
+        in_specs=ins + [blk((hh, tb), lambda i: (0, i))],
+        out_specs=(blk((nbxe, hdp), lambda i: (0, 0)),
+                   blk((hdp, 4 * hh), lambda i: (0, 0)),
+                   blk((hh, 4 * hh), lambda i: (0, 0)),
+                   blk((4 * hh, 1), lambda i: (0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((nbxe, hdp), jnp.float32),
+                   jax.ShapeDtypeStruct((hdp, 4 * hh), jnp.float32),
+                   jax.ShapeDtypeStruct((hh, 4 * hh), jnp.float32),
+                   jax.ShapeDtypeStruct((4 * hh, 1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((cs, nbxe, tb), jnp.float32),
+                        pltpu.VMEM((cs, nbxe, tb), jnp.float32),
+                        pltpu.VMEM((nch, hh, tb), jnp.float32),
+                        pltpu.VMEM((nch, hh, tb), jnp.float32),
+                        pltpu.VMEM((cs, hh, tb), jnp.float32),
+                        pltpu.VMEM((cs, hh, tb), jnp.float32),
+                        pltpu.VMEM((hh, tb), jnp.float32),
+                        pltpu.VMEM((hh, tb), jnp.float32),
+                        pltpu.VMEM((nbxe, hdp), jnp.float32),
+                        pltpu.VMEM((hdp, 4 * hh), jnp.float32),
+                        pltpu.VMEM((hh, 4 * hh), jnp.float32),
+                        pltpu.VMEM((4 * hh, 1), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+
+
+def _t2_vmem(tb, ellp, cs, nbxe, hdp, hh, has_root, bwd) -> int:
+    """f32 bytes resident per grid cell (lane dims pad to 128)."""
+    lp = lambda n: -(-n // 128) * 128
+    planes = 2 * (5 if has_root else 3) * ellp * lp(tb)
+    bes = 2 * cs * max(nbxe, 8) * lp(tb)
+    state = 2 * hh * lp(tb)
+    ops = hdp * lp(nbxe) + 4 * hh * lp(hdp) + 4 * hh * lp(hh) \
+        + 4 * hh * lp(1)
+    tot = planes + bes + state + ops + hh * lp(tb)
+    if bwd:
+        nch = ellp // cs
+        tot += 2 * nch * hh * lp(tb) + 2 * cs * hh * lp(tb)
+        tot += 2 * (max(nbxe, 8) * lp(hdp) + hdp * lp(4 * hh)
+                    + 4 * hh * lp(hh) + 4 * hh * lp(1))
+    return 4 * tot
+
+
+def _pick_cs(ell, tb, nbxe, hdp, hh, has_root, bwd):
+    """BPTT/extraction chunk: the backward footprint is U-shaped in cs
+    (boundary carries ~ell/cs vs chunk scratch ~cs), so probe
+    candidates largest-first and take the first that fits."""
+    budget = _vmem_budget()
+    best, best_v = 8, None
+    for cand in (64, 48, 32, 24, 16, 8):
+        v = _t2_vmem(tb, -(-ell // cand) * cand, cand, nbxe, hdp, hh,
+                     has_root, bwd)
+        if v <= budget:
+            return cand
+        if best_v is None or v < best_v:
+            best, best_v = cand, v
+    return best
+
+
+def _pick_t2_tiles(b2, ell, nbxe, hdp, hh, has_root):
+    """(tb, tb_bwd, cs, cs_bwd, ellp). Same lane rules as _pick_tiles:
+    tiles at multiples of 128 (whole array below 128)."""
+    budget = _vmem_budget()
+    if b2 < 128:
+        tb = tb_bwd = b2
+        cs = _pick_cs(ell, tb, nbxe, hdp, hh, has_root, False)
+        cs_bwd = _pick_cs(ell, tb_bwd, nbxe, hdp, hh, has_root, True)
+    else:
+        tb = 128
+        for cand in (512, 256):
+            cs_c = _pick_cs(ell, cand, nbxe, hdp, hh, has_root, False)
+            if (cand <= -(-b2 // 128) * 128
+                    and _t2_vmem(cand, -(-ell // cs_c) * cs_c, cs_c,
+                                 nbxe, hdp, hh, has_root,
+                                 False) <= budget):
+                tb = cand
+                break
+        tb_bwd = 128
+        for cand in (256,):
+            cs_c = _pick_cs(ell, cand, nbxe, hdp, hh, has_root, True)
+            if (cand <= tb and tb % cand == 0
+                    and _t2_vmem(cand, -(-ell // cs_c) * cs_c, cs_c,
+                                 nbxe, hdp, hh, has_root,
+                                 True) <= budget):
+                tb_bwd = cand
+                break
+        cs = _pick_cs(ell, tb, nbxe, hdp, hh, has_root, False)
+        cs_bwd = _pick_cs(ell, tb_bwd, nbxe, hdp, hh, has_root, True)
+    lcm = cs * cs_bwd // math.gcd(cs, cs_bwd)
+    ellp = -(-ell // lcm) * lcm
+    return tb, tb_bwd, cs, cs_bwd, ellp
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(9, 10, 11, 12, 13, 14, 15))
+def _klstmt2(ko, kc, roots, mk, tmax_f, tmax_b, u2, wi2, wh_bh,
+             tb, tb_bwd, ellp, cs, cs_bwd, shift, interpret):
+    wh, bh = wh_bh
+    return _klstm_t2_fwd_call(tmax_f, ko, kc, roots, mk, u2.T,
+                              wi2.T, wh.T, bh.T, tb, ellp, cs, shift,
+                              interpret)
+
+
+def _klstmt2_fwd(ko, kc, roots, mk, tmax_f, tmax_b, u2, wi2, wh_bh,
+                 tb, tb_bwd, ellp, cs, cs_bwd, shift, interpret):
+    out = _klstm_t2_fwd_call(tmax_f, ko, kc, roots, mk, u2.T, wi2.T,
+                             wh_bh[0].T, wh_bh[1].T, tb, ellp, cs,
+                             shift, interpret)
+    return out, (ko, kc, roots, mk, tmax_f, tmax_b, u2, wi2, wh_bh)
+
+
+def _klstmt2_bwd(tb, tb_bwd, ellp, cs, cs_bwd, shift, interpret, res,
+                 g):
+    ko, kc, roots, mk, tmax_f, tmax_b, u2, wi2, wh_bh = res
+    wh, bh = wh_bh
+    du, dwi, dwh, dbh = _klstm_t2_bwd_call(
+        tmax_b, ko, kc, roots, mk, u2.T, wi2.T, wh.T, bh.T,
+        g.astype(jnp.float32), tb_bwd, ellp, cs_bwd, shift, interpret)
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    rz = None if roots is None else tuple(f0(r) for r in roots)
+    return (f0(ko), f0(kc), rz, f0(mk), f0(tmax_f), f0(tmax_b), du,
+            dwi, (dwh, dbh.T))
+
+
+_klstmt2.defvjp(_klstmt2_fwd, _klstmt2_bwd)
+
+
 def lstm_from_keys(kown: jax.Array, kcross_al: jax.Array,
                    mask: jax.Array, u_ext: jax.Array, wi: jax.Array,
                    wh: jax.Array, bh: jax.Array, shift: int,
@@ -822,7 +1310,8 @@ def lstm_from_keys(kown: jax.Array, kcross_al: jax.Array,
                    tb: int | None = None, tb_bwd: int | None = None,
                    chunk: int | None = None,
                    interpret: bool | None = None,
-                   waves: int | None = None) -> jax.Array:
+                   waves: int | None = None,
+                   impl: str | None = None) -> jax.Array:
     """Masked LSTM final hidden directly from packed keys -> [Q, B, H].
 
     kown/kcross_al: uint32 [Q, B, L] slot-aligned; mask bool [Q, B, L];
@@ -833,11 +1322,22 @@ def lstm_from_keys(kown: jax.Array, kcross_al: jax.Array,
     layout — see the section comment above)."""
     if interpret is None:
         interpret = _default_interpret()
+    # t2 (r5 default): chunked-extraction transposed kernels — measured
+    # v5e production A/B (probe_fused_ab lstm:1): train 210.8k vs 69.3k
+    # q/s (x3.04), inference 435.3k vs 253.8k (x1.72); HW parity OK at
+    # M=100 and M=200 (probe_hw_parity). SUREL_LSTM_IMPL=t1 restores
+    # the first-generation transposed kernel.
+    if impl is None:
+        impl = os.environ.get("SUREL_LSTM_IMPL", "t2")
     q, b, ell = kown.shape
     hh = wh.shape[0]
     nbx, hd = u_ext.shape
     b2 = q * b
     has_root = root_own is not None
+    if impl == "t2":
+        return _lstm_from_keys_t2(kown, kcross_al, mask, u_ext, wi, wh,
+                                  bh, shift, root_own, root_cross,
+                                  interpret)
     # row tiles: lane (minor) dims must be %128 or the whole array, so
     # with b2 >= 128 tb is honored only at multiples of 128 (anything
     # else falls back to 128; sub-128 row counts use the whole array).
