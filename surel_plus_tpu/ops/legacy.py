@@ -156,6 +156,34 @@ def batch_sampler(graph: CSRGraph, query_nodes: np.ndarray,
     return union, walks
 
 
+def _walk_join_device(walks: jax.Array, queries: jax.Array):
+    """Jitted walk_join core: row sorts + dedup-rank cumsum + batched
+    search — the repo's standard sort-based join idiom, no host loop.
+
+    walks [n, W] int32; queries [2, B] row ids -> (left, right) [B, W]
+    1-based indices into the partner's unique node list (0 = absent),
+    in the original walk-slot order."""
+    from surel_plus_tpu.ops.walk import rows_searchsorted
+
+    sw = jnp.sort(walks, axis=1)                     # [n, W]
+    first = jnp.concatenate(
+        [jnp.ones_like(sw[:, :1], bool), sw[:, 1:] != sw[:, :-1]],
+        axis=1)
+    rank = jnp.cumsum(first, axis=1).astype(jnp.int32)   # dedup rank
+
+    def side(qa, qb):
+        wa = walks[qa]                               # [B, W] row gather
+        swb = sw[qb]
+        rkb = rank[qb]
+        pos = rows_searchsorted(swb, wa)
+        cpos = jnp.minimum(pos, swb.shape[1] - 1)
+        hit = jnp.take_along_axis(swb, cpos, axis=1) == wa
+        return jnp.where(hit,
+                         jnp.take_along_axis(rkb, cpos, axis=1), 0)
+
+    return side(queries[0], queries[1]), side(queries[1], queries[0])
+
+
 def walk_join(walks: np.ndarray, seeds: np.ndarray,
               queries: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """SUREL-v1 online join (C walk_join, subg_acc.c:509-647): for each
@@ -163,19 +191,11 @@ def walk_join(walks: np.ndarray, seeds: np.ndarray,
     unique node list (0 if absent) and vice versa.
 
     walks: [n, M*(S+1)] raw walks of `seeds`; queries: [2, B] into seeds'
-    rows. Returns (left [B, W], right [B, W]) remap indices, W = walk width.
-    """
-    n, W = walks.shape
-    uniq_per_seed: List[np.ndarray] = [np.unique(walks[i])
-                                       for i in range(n)]
-    out_l = np.zeros((queries.shape[1], W), np.int32)
-    out_r = np.zeros((queries.shape[1], W), np.int32)
-    for b, (u, v) in enumerate(queries.T):
-        uu, vv = uniq_per_seed[u], uniq_per_seed[v]
-        pos = np.searchsorted(vv, walks[u])
-        pos = np.minimum(pos, len(vv) - 1)
-        out_l[b] = np.where(vv[pos] == walks[u], pos + 1, 0)
-        pos = np.searchsorted(uu, walks[v])
-        pos = np.minimum(pos, len(uu) - 1)
-        out_r[b] = np.where(uu[pos] == walks[v], pos + 1, 0)
-    return out_l, out_r
+    rows. Returns (left [B, W], right [B, W]) remap indices, W = walk
+    width. r5: device implementation (`_walk_join_device` — row sorts +
+    dedup-rank + lane-vectorized search), replacing the r1-r4 host
+    per-query numpy loop; tests pin it against that loop's semantics."""
+    left, right = jax.jit(_walk_join_device)(
+        jnp.asarray(walks, dtype=jnp.int32),
+        jnp.asarray(queries, dtype=jnp.int32))
+    return np.asarray(left), np.asarray(right)

@@ -73,6 +73,26 @@ def test_batch_sampler(g):
     assert walks.shape == (3, M, S)
 
 
+def test_walk_join_matches_host_loop():
+    """The r5 device walk_join must reproduce the reference-semantics
+    host loop (np.unique per seed + searchsorted per query) exactly."""
+    rng = np.random.default_rng(5)
+    n, W, B = 20, 12, 16
+    walks = rng.integers(0, 30, size=(n, W)).astype(np.int32)
+    queries = rng.integers(0, n, size=(2, B)).astype(np.int32)
+    left, right = walk_join(walks, np.arange(n, dtype=np.int32),
+                            queries)
+
+    def host(u, v):
+        vv = np.unique(walks[v])
+        pos = np.minimum(np.searchsorted(vv, walks[u]), len(vv) - 1)
+        return np.where(vv[pos] == walks[u], pos + 1, 0)
+
+    for b, (u, v) in enumerate(queries.T):
+        np.testing.assert_array_equal(left[b], host(u, v))
+        np.testing.assert_array_equal(right[b], host(v, u))
+
+
 def test_walk_join():
     g = ring_of_cliques(3, 4)
     seeds = np.arange(g.num_nodes, dtype=np.int32)
