@@ -19,6 +19,15 @@ Variants (fwd only, production shapes, synthetic keys):
   dynbound    fori_loop bound = per-tile max valid step (sorted rows)
 
 python scripts/probe_lstm_waves.py [variants...]
+
+r5 RESULTS (v5e, [2,4096,301], 2026-08-20): base 13.2 / waves1 12.8 /
+waves2 12.6 / waves4 15.1 / cheapact 15.1 / justz 5.64 ms.
+-> H2 REFUTED (removing transcendentals does not help), H1 marginal
+(~2%), and the decisive finding: the per-step key->hidden recompute
+alone is 44% of the forward (single-sublane [1, tb] extraction +
+per-step dynamic slices). This motivated the t2 kernels
+(lstm_kernel.py: chunked extraction + transposed state + sorted
+early-exit chunks): fwd 3.9 ms, fwd+bwd 20.4 ms — x3.3/x2.9.
 """
 import functools
 import os

@@ -29,7 +29,7 @@ run collabs_mean --dataset fixture-collabs --aggrs mean --num_walks 50 \
   --runs 3 --batch_size 4096
 run collabs_attn --dataset fixture-collabs --aggrs attn --num_walks 50 \
   --num_steps 3 --k 10 --epochs 20 --eval_steps 2 --early_stop 10 \
-  --runs 3 --batch_size 4096
+  --runs 6 --batch_size 4096
 run collabs_lstm --dataset fixture-collabs --aggrs lstm --num_walks 20 \
   --num_steps 3 --k 5 --epochs 12 --eval_steps 2 --early_stop 10 \
   --runs 3 --batch_size 1024
@@ -42,7 +42,4 @@ run collab_attn --dataset fixture-collab --aggrs attn --num_walks 200 \
 run cites_mean --dataset fixture-cites --aggrs mean --num_walks 50 \
   --num_steps 3 --k 10 --epochs 16 --eval_steps 2 --early_stop 10 \
   --runs 3 --batch_size 4096
-runh tags_honet --dataset npz:surel_plus_tpu/data/fixtures/tags_fixture.npz \
-  --num_walks 100 --num_steps 3 --k 10 --epochs 10 --eval_steps 2 \
-  --early_stop 10 --runs 3 --batch_size 4096
 echo "ALL DONE $(date -u +%H:%M:%S)"
