@@ -437,9 +437,21 @@ def run(cfg: ExperimentConfig) -> ResultLogger:
                 target = labels[sel]
                 loss = loss_fn(pred, target)
                 # reference order: clip THEN backward (train.py:131-133)
-                torch.nn.utils.clip_grad_norm_(model.parameters(),
-                                               max_norm=1.0)
-                loss.backward()
+                # — after zero_grad this clips ZERO grads, i.e. the
+                # reference effectively trains UNCLIPPED. The framework
+                # fixes this (optax clip_by_global_norm applies to the
+                # real grads); SUREL_ORACLE_CLIP_FIX=1 mirrors the fix
+                # here to isolate its accuracy effect (r5: decisive for
+                # the LSTM aggregator, whose unclipped training ranks
+                # far below the clipped framework run).
+                if os.environ.get("SUREL_ORACLE_CLIP_FIX") == "1":
+                    loss.backward()
+                    torch.nn.utils.clip_grad_norm_(model.parameters(),
+                                                   max_norm=1.0)
+                else:
+                    torch.nn.utils.clip_grad_norm_(model.parameters(),
+                                                   max_norm=1.0)
+                    loss.backward()
                 opt.step()
                 tot_loss += loss.item() * len(sel)
                 tot_n += len(sel)
